@@ -1,0 +1,224 @@
+"""Distance kernels: containment / Jaccard / mash distance + sketch merge.
+
+Reimplements the comparison semantics of the reference's `lib/src/distance.rs`
+and `lib/src/python.rs` (onecodex/finch-rs) over numpy arrays. The hot-path
+entry point `raw_distance` replicates the *exact* two-pointer stop semantics
+(`distance.rs:66-126`): the merge walk stops when either sorted list is
+exhausted, then (for scaled sketches) both pointers advance through remaining
+hashes strictly below max_hash; containment = common / j (reference-side
+consumed count).
+
+Plain `array_intersect` does NOT implement this (the stop rule changes `total`
+when the lists have different ranges) — which is why verification runs in this
+kernel instead of a Catalyst set function.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+U64_MAX = 0xFFFFFFFFFFFFFFFF
+
+
+def _intersect_size_sorted(a: np.ndarray, b: np.ndarray) -> int:
+    """|set(a) ∩ set(b)| for sorted distinct uint64 arrays, O(|a| log |b|)."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    if len(b) < len(a):
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return int(np.count_nonzero(b[idx] == a))
+
+
+def raw_distance(
+    query: np.ndarray, ref: np.ndarray, scale: float
+) -> tuple[float, float, int, int]:
+    """(containment, jaccard, common, total) — `distance.rs:66-126` semantics.
+
+    Inputs must be sorted-ascending *distinct* uint64 hash arrays (which every
+    sketch in this engine is; the reference's behavior on duplicate hashes is
+    documented as unspecified).
+    """
+    query = np.asarray(query, dtype=np.uint64)
+    ref = np.asarray(ref, dtype=np.uint64)
+    lq, lr = len(query), len(ref)
+    if lq == 0 or lr == 0:
+        i = j = 0
+        common = 0
+    else:
+        common = _intersect_size_sorted(query, ref)
+        qmax, rmax = query[-1], ref[-1]
+        if qmax == rmax:
+            i, j = lq, lr
+        elif qmax < rmax:
+            # query exhausts; ref consumed everything <= qmax
+            i = lq
+            j = int(np.searchsorted(ref, qmax, side="right"))
+        else:
+            j = lr
+            i = int(np.searchsorted(query, rmax, side="right"))
+
+    if scale > 0.0:
+        # `u64::MAX / scale.recip() as u64` (Rust truncating float->int cast)
+        max_hash = np.uint64(U64_MAX // int(1.0 / scale))
+        # advance pointers through remaining hashes strictly below max_hash
+        i = max(i, int(np.searchsorted(query, max_hash, side="left")))
+        j = max(j, int(np.searchsorted(ref, max_hash, side="left")))
+
+    containment = 0.0 if j == 0 else common / j
+    total = i - common + j
+    jaccard = 1.0 if total == 0 else common / total
+    return containment, jaccard, common, total
+
+
+def raw_distance_walk(
+    query: np.ndarray, ref: np.ndarray, scale: float
+) -> tuple[float, float, int, int]:
+    """Literal scalar two-pointer transcription (tests / cross-check only)."""
+    i = j = 0
+    common = 0
+    lq, lr = len(query), len(ref)
+    while i < lq and j < lr:
+        if query[i] < ref[j]:
+            i += 1
+        elif ref[j] < query[i]:
+            j += 1
+        else:
+            common += 1
+            i += 1
+            j += 1
+    if scale > 0.0:
+        max_hash = U64_MAX // int(1.0 / scale)
+        while i < lq and query[i] < max_hash:
+            i += 1
+        while j < lr and ref[j] < max_hash:
+            j += 1
+    containment = 0.0 if j == 0 else common / j
+    total = i - common + j
+    jaccard = 1.0 if total == 0 else common / total
+    return containment, jaccard, common, total
+
+
+def old_distance(query: np.ndarray, ref: np.ndarray) -> tuple[float, float, int, int]:
+    """Legacy containment-biased variant (`distance.rs:136-157`), including its
+    pointer-clamp quirk (`i < len-1`)."""
+    i = 0
+    common = 0
+    total = 0
+    lq = len(query)
+    for rh in ref:
+        while lq and query[i] < rh and i < lq - 1:
+            i += 1
+        if lq and query[i] == rh:
+            common += 1
+        total += 1
+    containment = common / total if total else 0.0
+    jaccard = common / (common + 2 * (total - common)) if total else 0.0
+    return containment, jaccard, common, total
+
+
+def mash_distance(jaccard: float, k: int) -> float:
+    """`-ln(2j/(1+j))/k` clamped to [0,1] (`distance.rs:37-41`)."""
+    if jaccard <= 0.0:
+        return 1.0  # ln(0) -> -inf -> clamped
+    d = -math.log((2.0 * jaccard) / (1.0 + jaccard)) / k
+    return min(1.0, max(0.0, d))
+
+
+def min_scale(scale_q: float | None, scale_r: float | None) -> float:
+    """Scale used for comparison: min of both iff BOTH sketches are scaled,
+    else 0 (noop) — `distance.rs:23-29`."""
+    if scale_q is not None and scale_r is not None:
+        return min(scale_q, scale_r)
+    return 0.0
+
+
+def merge_sketches(
+    h1: np.ndarray,
+    c1: np.ndarray,
+    e1: np.ndarray,
+    h2: np.ndarray,
+    c2: np.ndarray,
+    e2: np.ndarray,
+    size: int | None,
+    scale: float | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sorted set-union merge with count summation, then clip by (size, scale)
+    — `merge_sketches` (`lib/src/python.rs:24-100`). The take_while clip rule
+    on a sorted list reduces to keep = (h <= max_hash) | (idx < size)."""
+    both = np.concatenate([np.asarray(h1, np.uint64), np.asarray(h2, np.uint64)])
+    cts = np.concatenate([np.asarray(c1, np.int64), np.asarray(c2, np.int64)])
+    ext = np.concatenate([np.asarray(e1, np.int64), np.asarray(e2, np.int64)])
+    uh, inv = np.unique(both, return_inverse=True)
+    mc = np.zeros(len(uh), dtype=np.int64)
+    me = np.zeros(len(uh), dtype=np.int64)
+    np.add.at(mc, inv, cts)
+    np.add.at(me, inv, ext)
+
+    if scale is not None:
+        max_hash = np.uint64(U64_MAX // int(1.0 / scale))
+        if size is not None:
+            keep = (uh <= max_hash) | (np.arange(len(uh)) < size)
+        else:
+            keep = uh <= max_hash
+        return uh[keep], mc[keep], me[keep]
+    if size is not None:
+        return uh[:size], mc[:size], me[:size]
+    return uh, mc, me
+
+
+def compare_counts(
+    ref_h: np.ndarray, ref_c: np.ndarray, q_h: np.ndarray, q_c: np.ndarray
+) -> tuple[int, int, int, int, int, float, float, float]:
+    """Intersection count moments (`Sketch.compare_counts`,
+    `lib/src/python.rs:489-559`): (common, ref_pos, query_pos, ref_count,
+    query_count, var, skew, excess-kurtosis) with population moments over the
+    query counts at common hashes."""
+    ref_h = np.asarray(ref_h, np.uint64)
+    q_h = np.asarray(q_h, np.uint64)
+    common_vals = np.intersect1d(ref_h, q_h, assume_unique=True)
+    common = len(common_vals)
+    # pointer positions at loop end (two-pointer walk, same stop rule as
+    # raw_distance with scale=0)
+    if common == 0 and (len(ref_h) == 0 or len(q_h) == 0):
+        ref_pos = q_pos = 0
+    else:
+        rmax, qmax = ref_h[-1], q_h[-1]
+        if rmax == qmax:
+            ref_pos, q_pos = len(ref_h), len(q_h)
+        elif rmax < qmax:
+            ref_pos = len(ref_h)
+            q_pos = int(np.searchsorted(q_h, rmax, side="right"))
+        else:
+            q_pos = len(q_h)
+            ref_pos = int(np.searchsorted(ref_h, qmax, side="right"))
+    rmask = np.isin(ref_h, common_vals, assume_unique=True)
+    qmask = np.isin(q_h, common_vals, assume_unique=True)
+    ref_count = int(np.asarray(ref_c, np.int64)[rmask].sum())
+    qc = np.asarray(q_c, np.float64)[qmask]
+    query_count = int(qc.sum())
+    if common:
+        mean = qc.mean()
+        d = qc - mean
+        m2 = float((d**2).sum())
+        m3 = float((d**3).sum())
+        m4 = float((d**4).sum())
+        var = m2 / common
+        skew = math.sqrt(common) * m3 / m2**1.5 if m2 > 0 else float("nan")
+        kurt = common * m4 / (m2 * m2) - 3.0 if m2 > 0 else float("nan")
+    else:
+        var = skew = kurt = float("nan")
+    return common, ref_pos, q_pos, ref_count, query_count, var, skew, kurt
+
+
+def cardinality(hashes: np.ndarray) -> int:
+    """KMV distinct-count estimate with the reference's f32 arithmetic
+    (`lib/src/statistics.rs:8-23`)."""
+    n = len(hashes)
+    if n == 0:
+        return 0
+    last = np.float32(np.uint64(hashes[-1]))
+    frac = np.float32(last / np.float32(U64_MAX))
+    return int(np.float32(n - 1) / frac)

@@ -1,0 +1,83 @@
+"""SimHash (64-bit) over shingle hashes — short-document fallback path.
+
+The reference has no SimHash; this is the north-star extension for documents
+too short for stable MinHash signatures (SURVEY.md §7.1 step 6). Standard
+Charikar construction: per-bit signed vote weighted by shingle count, bit set
+when the vote is positive. Fully vectorized (no per-row Python in the UDF).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_BITS = np.arange(64, dtype=np.uint64)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def simhash64(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """SimHash of one document's shingle hash multiset. Empty input -> 0."""
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    if len(hashes) == 0:
+        return 0
+    bits = ((hashes[:, None] >> _BITS) & np.uint64(1)).astype(np.int64)  # (n, 64)
+    if weights is None:
+        votes = (2 * bits - 1).sum(axis=0)
+    else:
+        w = np.asarray(weights, dtype=np.int64)[:, None]
+        votes = ((2 * bits - 1) * w).sum(axis=0)
+    out = np.uint64(0)
+    set_bits = np.nonzero(votes > 0)[0]
+    for b in set_bits:
+        out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def simhash64_batch(
+    hashes: np.ndarray, doc_offsets: np.ndarray, weights: np.ndarray | None = None
+) -> np.ndarray:
+    """Vectorized SimHash for many documents.
+
+    `hashes` is the concatenated shingle-hash stream, `doc_offsets` the
+    (n_docs+1,) boundaries (as from `batch_shingle_hashes`). One
+    `np.add.reduceat` per call — no per-doc Python loop.
+    """
+    n_docs = len(doc_offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(hashes) == 0:
+        return out
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    signed = (2 * ((hashes[:, None] >> _BITS) & np.uint64(1)).astype(np.int64)) - 1
+    if weights is not None:
+        signed = signed * np.asarray(weights, dtype=np.int64)[:, None]
+    # reduce only over non-empty documents: their starts are strictly
+    # increasing and < len(hashes), and consecutive non-empty starts are
+    # exactly the segment boundaries (empty docs have zero width)
+    nonempty = np.nonzero(doc_offsets[:-1] < doc_offsets[1:])[0]
+    starts = np.asarray(doc_offsets[:-1])[nonempty]
+    votes = np.add.reduceat(signed, starts, axis=0)  # (n_nonempty, 64)
+    bitvals = (votes > 0).astype(np.uint64) << _BITS[None, :]
+    out[nonempty] = bitvals.sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays (popcount by table)."""
+    x = (np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64)).copy()
+    total = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(8):
+        total += _POPCOUNT8[(x & np.uint64(0xFF)).astype(np.uint8)]
+        x >>= np.uint64(8)
+    return total
+
+
+def simhash_band_keys(sims: np.ndarray, n_bands: int = 4) -> np.ndarray:
+    """Split each 64-bit SimHash into `n_bands` equal chunks for banded
+    Hamming-neighbor candidate generation (pigeonhole: any pair within
+    Hamming distance < n_bands shares at least one identical chunk).
+
+    Returns (n_docs, n_bands) uint64 chunk values.
+    """
+    sims = np.asarray(sims, dtype=np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
+    return (sims[:, None] >> shifts) & mask
