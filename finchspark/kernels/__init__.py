@@ -11,7 +11,18 @@ from .murmur3 import (
     murmur3_x64_128_low64,
     u64_to_i64_shifted,
 )
-from .shingles import batch_shingle_hashes, dna_canonical_kmers, shingle_hashes
+from .shingles import (
+    batch_shingle_hashes,
+    blob_shingle_hashes,
+    dna_canonical_kmers,
+    shingle_hashes,
+)
+from .segment import (
+    segment_bottom_k,
+    segment_count_distinct,
+    segment_scaled,
+    segment_unique_counts,
+)
 from .sketch import (
     FilterParams,
     KmerCounts,
@@ -49,6 +60,11 @@ __all__ = [
     "i64_to_u64_shifted",
     "shingle_hashes",
     "batch_shingle_hashes",
+    "blob_shingle_hashes",
+    "segment_bottom_k",
+    "segment_count_distinct",
+    "segment_scaled",
+    "segment_unique_counts",
     "dna_canonical_kmers",
     "SketchParams",
     "FilterParams",

@@ -26,22 +26,21 @@ def shingle_hashes(content: bytes, k: int, seed: int = 0) -> np.ndarray:
     return murmur3_x64_128_low64(np.ascontiguousarray(windows), seed)
 
 
-def batch_shingle_hashes(
-    contents: list[bytes], k: int, seed: int = 0
+def blob_shingle_hashes(
+    blob: np.ndarray, byte_offsets: np.ndarray, k: int, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Hash every k-gram of every document in ONE vectorized murmur call.
+    """Hash every k-gram of every document in ONE vectorized murmur call,
+    reading documents directly from a concatenated uint8 blob + byte offsets
+    (the native Arrow string/binary column layout, so the signature UDF can
+    consume Arrow buffers zero-copy).
 
     Returns (hashes, doc_offsets) where ``hashes[doc_offsets[i]:doc_offsets[i+1]]``
-    are document i's shingle hashes in occurrence order. Documents shorter than
-    k contribute zero hashes.
-
-    Implementation: concatenate all contents, build a sliding-window view over
-    the concatenation, drop windows that cross a document boundary, and hash
-    the surviving (n_valid, k) matrix in one call. This keeps the per-Arrow-batch
-    Python overhead O(1) rather than O(n_docs).
+    are document i's shingle hashes in occurrence order. Documents shorter
+    than k contribute zero hashes.
     """
-    n_docs = len(contents)
-    lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n_docs)
+    byte_offsets = np.asarray(byte_offsets, dtype=np.int64)
+    n_docs = len(byte_offsets) - 1
+    lens = np.diff(byte_offsets)
     n_kmers = np.maximum(lens - k + 1, 0)
     doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_kmers, out=doc_offsets[1:])
@@ -49,18 +48,29 @@ def batch_shingle_hashes(
     if total == 0:
         return np.empty(0, dtype=np.uint64), doc_offsets
 
-    blob = np.frombuffer(b"".join(contents), dtype=np.uint8)
     windows = np.lib.stride_tricks.sliding_window_view(blob, k)
-    # valid window start positions: within-document only
-    starts = np.empty(total, dtype=np.int64)
-    doc_starts = np.zeros(n_docs, dtype=np.int64)
-    np.cumsum(lens[:-1], out=doc_starts[1:])
     # window start index in blob for each emitted shingle
-    # = doc_start[d] + (local index within doc)
+    # = doc_byte_start[d] + (local shingle index within doc)
     local = np.arange(total, dtype=np.int64) - np.repeat(doc_offsets[:-1], n_kmers)
-    starts = np.repeat(doc_starts, n_kmers) + local
+    starts = np.repeat(byte_offsets[:-1], n_kmers) + local
     mat = np.ascontiguousarray(windows[starts])
     return murmur3_x64_128_low64(mat, seed), doc_offsets
+
+
+def batch_shingle_hashes(
+    contents: list[bytes], k: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """`blob_shingle_hashes` over a Python list of byte strings."""
+    n_docs = len(contents)
+    lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n_docs)
+    byte_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=byte_offsets[1:])
+    blob = (
+        np.frombuffer(b"".join(contents), dtype=np.uint8)
+        if byte_offsets[-1]
+        else np.empty(0, dtype=np.uint8)
+    )
+    return blob_shingle_hashes(blob, byte_offsets, k, seed)
 
 
 # --------------------------- DNA parity path ---------------------------------

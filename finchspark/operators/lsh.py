@@ -1,0 +1,85 @@
+"""LSH candidate generation: band explode → capped buckets → self-join.
+
+New design, no reference counterpart (SURVEY.md §2.7, §7.3): the reference
+compares all pairs in a nested loop (`calc_sketch_distances`,
+`cli/src/main.rs:315-334`) which is O(Q×R) and impossible at 10^12 files.
+Here signatures carry `bands` (array<long>, index = band_id) from the
+signature stage; candidates are pairs sharing ≥1 (band_id, band_hash).
+
+Skew handling (north_rule):
+- mega-buckets (license boilerplate, empty-ish files) are CAPPED: buckets
+  with more than `bucket_cap` members are dropped from pair generation and
+  surfaced in the metrics DataFrame instead (exact duplicates among them are
+  still caught by the exact sha256 dedup operator, and the cap only kicks in
+  for buckets whose members are near-identical to >cap partners anyway);
+- the bucket-size aggregation and the self-join shuffle on the same key
+  (band_id, band_hash), so Catalyst reuses one exchange; AQE skew-join
+  handles residual within-bucket skew.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LshConfig
+
+
+def explode_bands(signatures: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    return signatures.select(
+        F.col(key_col),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    lsh: LshConfig,
+    key_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Return (pairs, bucket_metrics).
+
+    pairs: (key_a, key_b) distinct, key_a < key_b.
+    bucket_metrics: per-(band_id, band_hash) member counts for buckets that
+    exceeded the cap (skew observability + lineage).
+    """
+    bands = explode_bands(signatures, key_col)
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    overflow = sizes.filter(F.col("bucket_size") > lsh.bucket_cap)
+    ok = sizes.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= lsh.bucket_cap)
+    )
+    # join back on the SAME key the agg shuffled on -> exchange reuse
+    member = bands.join(ok, ["band_id", "band_hash"], "inner")
+    left = member.select(
+        "band_id", "band_hash", F.col(key_col).alias("key_a")
+    )
+    right = member.select(
+        "band_id", "band_hash", F.col(key_col).alias("key_b")
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"], "inner")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    return pairs, overflow
+
+
+def exact_dup_pairs_sha(
+    signatures: DataFrame, key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicates via sha256 grouping — O(n) with one shuffle, and the
+    safety net for members of capped LSH buckets. Pairs each doc with the
+    group's minimum key (star edges) rather than emitting O(g^2) pairs."""
+    rep = signatures.groupBy("sha256").agg(
+        F.min(key_col).alias("key_a"), F.count(F.lit(1)).alias("n")
+    )
+    # no broadcast hint: `rep` scales with the corpus; AQE picks broadcast
+    # automatically when the dup-group table is actually small
+    return (
+        signatures.join(rep.filter(F.col("n") > 1), "sha256", "inner")
+        .filter(F.col(key_col) != F.col("key_a"))
+        .select("key_a", F.col(key_col).alias("key_b"))
+    )

@@ -1,0 +1,185 @@
+"""Signature stage: documents → per-document MinHash signature rows.
+
+Spark shape (SURVEY.md §3.1): `documents → (length-bucketed repartition) →
+mapInArrow(signature kernel) → signatures`. The whole batch is processed with
+a handful of numpy calls — content bytes are read straight out of the Arrow
+string buffers (zero-copy), every k-gram in the batch is hashed in one
+vectorized murmur3 call, and per-document sketches come from one segmented
+lexsort (`finchspark.kernels.segment`). No per-row Python anywhere.
+
+Scale notes (100 TB): the stage is embarrassingly parallel — cost scales with
+input bytes, no shuffle except the optional repartitionByRange on n_bytes
+(recommended so one Arrow batch ≈ constant shingle work regardless of file
+size skew). Arrow batch size is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch` (set smaller for huge files).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig
+from ..kernels import (
+    band_hashes,
+    blob_shingle_hashes,
+    oph_signatures,
+    segment_count_distinct,
+    simhash64_batch,
+    u64_to_i64_shifted,
+)
+
+_EMPTY64 = 0xFFFFFFFFFFFFFFFF
+
+
+def signature_schema(key_fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(
+        key_fields
+        + [
+            T.StructField("sha256", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_kmers", T.LongType()),
+            T.StructField("n_unique", T.LongType()),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.IntegerType())),
+            T.StructField("simhash", T.LongType()),
+            T.StructField("bands", T.ArrayType(T.LongType())),
+        ]
+    )
+
+
+def _string_blob(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 blob, int64 byte offsets) straight from Arrow buffers."""
+    if arr.null_count:
+        arr = arr.fill_null("" if pa.types.is_string(arr.type) else b"")
+    arr = arr.cast(pa.large_binary())
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset
+    )[arr.offset :]
+    data_buf = arr.buffers()[2]
+    blob = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return blob, offsets
+
+
+def build_signatures(
+    df: DataFrame,
+    config: PipelineConfig,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    content_col: str = "content",
+    length_bucket: bool = True,
+) -> DataFrame:
+    """Compute the `signatures` DataFrame for `df`.
+
+    Output columns: key_cols…, sha256, n_bytes, n_kmers, n_unique,
+    hashes (array<long>, sign-shifted u64, ascending unsigned), counts,
+    simhash (long, raw bit pattern), bands (array<long>, index = band_id).
+    """
+    params = config.sketch
+    lsh = config.lsh
+    k = params.kmer_length
+    seed = params.hash_seed
+    sel = df.select(*key_cols, F.col(content_col).alias("__content"))
+    if length_bucket:
+        # one Arrow batch ≈ similar total shingle work; avoids a straggler
+        # batch full of 64 KiB files next to batches of empty files
+        sel = sel.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, 1),
+            F.length("__content"),
+        )
+    key_schema = [sel.schema[c] for c in key_cols]
+    out_schema = signature_schema(key_schema)
+
+    n_key = len(key_cols)
+    sketch_type = params.sketch_type
+    size = params.kmers_to_sketch
+    final_size = params.final_size
+    scale = params.scale
+    n_bands, n_rows = lsh.n_bands, lsh.n_rows
+    m = lsh.signature_len
+
+    def compute(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            content = batch.column(n_key)
+            blob, byte_off = _string_blob(content)
+            n_bytes = np.diff(byte_off)
+            hashes, doc_off = blob_shingle_hashes(blob, byte_off, k, seed)
+            n_kmers = np.diff(doc_off)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_kmers)
+
+            gd, gh, gcounts, rank = segment_count_distinct(doc_idx, hashes, n)
+            n_unique = np.bincount(gd, minlength=n).astype(np.int64)
+            if sketch_type == "mash":
+                # bottom-k then truncate to final_size (A4) — one rank test
+                keep = rank < min(size, final_size)
+            elif sketch_type == "scaled":
+                max_hash = np.uint64(0xFFFFFFFFFFFFFFFF // int(1.0 / scale))
+                keep = (gh <= max_hash) | (rank < size)
+            else:
+                raise ValueError(f"unsupported sketch_type {sketch_type}")
+            kd, sk_h, sk_c = gd[keep], gh[keep], gcounts[keep]
+            per_doc = np.bincount(kd, minlength=n).astype(np.int64)
+            sk_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(per_doc, out=sk_off[1:])
+
+            sims = simhash64_batch(hashes, doc_off, None)
+            oph = oph_signatures(hashes, doc_off, m)
+            bands = band_hashes(oph, n_bands, n_rows, seed)
+            # documents with no shingles get an EMPTY band list (they would
+            # otherwise all collide into one mega-bucket)
+            empty = n_kmers == 0
+            bands_i64 = u64_to_i64_shifted(bands.reshape(-1)).reshape(n, n_bands)
+            band_counts = np.where(empty, 0, n_bands).astype(np.int64)
+            band_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(band_counts, out=band_off[1:])
+            band_vals = bands_i64[~empty].reshape(-1)
+
+            # sha256 over raw content bytes (per-row invariant vs source table)
+            shas = [
+                hashlib.sha256(blob[byte_off[i] : byte_off[i + 1]].tobytes()).hexdigest()
+                for i in range(n)
+            ]
+
+            arrays = [batch.column(i) for i in range(n_key)]
+            arrays += [
+                pa.array(shas, pa.string()),
+                pa.array(n_bytes, pa.int64()),
+                pa.array(n_kmers, pa.int64()),
+                pa.array(n_unique, pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(sk_off.astype(np.int32), pa.int32()),
+                    pa.array(u64_to_i64_shifted(sk_h), pa.int64()),
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(sk_off.astype(np.int32), pa.int32()),
+                    pa.array(sk_c.astype(np.int32), pa.int32()),
+                ),
+                pa.array(sims.view(np.int64), pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(band_off.astype(np.int32), pa.int32()),
+                    pa.array(band_vals, pa.int64()),
+                ),
+            ]
+            names = list(key_cols) + [
+                "sha256",
+                "n_bytes",
+                "n_kmers",
+                "n_unique",
+                "hashes",
+                "counts",
+                "simhash",
+                "bands",
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return sel.mapInArrow(compute, out_schema)

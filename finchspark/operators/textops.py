@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines (all JVM-side).
+
+Every operator here is pure built-in column expressions (whole-stage
+codegen, no UDFs), deliberately written so a DuckDB oracle can express the
+identical computation — these back several `queries()`/`oracle_sql()` entries
+in `__spark_entry__.py`.
+
+Operators: token counting, quality scoring (length/punct/stopword ratios),
+language-ID (stopword + CJK heuristic), document fingerprinting (min-hash
+over character n-grams), token-frequency histogram (the payload analogue of
+the reference's depth histogram G2, `lib/src/statistics.rs:30-47`) and the
+token abundance filter (F3 analogue, `lib/src/filtering.rs:329-343`).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small fixed stopword lists (shared with the SQL oracles)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "für"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "con", "para"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "avec", "pour"],
+}
+
+
+def _tokens(col: str = "text"):
+    return F.filter(F.split(F.col(col), r"\s+"), lambda x: x != "")
+
+
+def token_stats(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    toks = _tokens(text)
+    return docs.select(
+        F.col(key),
+        F.length(text).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.when(F.size(toks) > 0, F.length(F.regexp_replace(F.col(text), r"\s+", "")) / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Length / punctuation / uppercase / stopword ratios — the standard
+    cheap quality signals for corpus filtering."""
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    nonspace = F.length(F.regexp_replace(F.col(text), r"\s", ""))
+    punct = nonspace - F.length(F.regexp_replace(F.col(text), r"[^a-zA-Z0-9\s]", ""))
+    upper = F.length(F.col(text)) - F.length(F.regexp_replace(F.col(text), r"[A-Z]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
+    return docs.select(
+        F.col(key),
+        n_chars.alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0)).alias("punct_ratio"),
+        F.when(n_chars > 0, upper / n_chars).otherwise(F.lit(0.0)).alias("upper_ratio"),
+        F.when(F.size(toks) > 0, stop_hits / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK character share decides 'zh'; otherwise the
+    stopword list with the most token hits wins (deterministic tiebreak by
+    language code order en < de < es < fr)."""
+    toks = _tokens(text)
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_cols.append(
+            F.size(F.filter(toks, lambda t, a=arr: F.array_contains(a, F.lower(t)))).alias(
+                f"hits_{lang}"
+            )
+        )
+    cjk = F.length(F.col(text)) - F.length(
+        F.regexp_replace(F.col(text), r"[一-鿿]", "")
+    )
+    base = docs.select(F.col(key), F.col(text), cjk.alias("n_cjk"), *hit_cols)
+    langs = sorted(STOPWORDS)
+    # argmax with deterministic preference: first language (alphabetical)
+    # achieving the max hit count; 'und' when no hits at all
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        c = F.col(f"hits_{lang}")
+        cond = c > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, c).otherwise(best_hits)
+    return base.select(
+        F.col(key),
+        F.when(F.col("n_cjk") > 0, F.lit("zh")).otherwise(best).alias("pred_lang"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, key: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """Document fingerprint: minimum md5 over all character n-grams — a
+    1-permutation MinHash usable as a cheap near-dup blocking key."""
+    # substring with a dynamic start needs expr(); stays in codegen
+    return docs.select(
+        F.col(key),
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(length({text}) - {n - 1}, 0)),"
+            f" i -> md5(substring({text}, i, {n}))))"
+        ).alias("fingerprint"),
+    )
+
+
+def token_freq_hist(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """G2 analogue: histogram of token depths — depth d → how many (doc,
+    token) groups occur exactly d times."""
+    toks = docs.select(F.col(key), F.explode(_tokens(text)).alias("token"))
+    depth = toks.groupBy(key, "token").agg(F.count(F.lit(1)).alias("depth"))
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_kmers"))
+
+
+def token_abundance_filter(
+    docs: DataFrame, low: int, high: int, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """F3 analogue on tokens: keep (doc, token) with low <= depth <= high
+    (inclusive bounds, `lib/src/filtering.rs:335-340`)."""
+    toks = docs.select(F.col(key), F.explode(_tokens(text)).alias("token"))
+    depth = toks.groupBy(key, "token").agg(F.count(F.lit(1)).alias("depth"))
+    return depth.filter((F.col("depth") >= low) & (F.col("depth") <= high))

@@ -1,0 +1,84 @@
+"""Stage checkpointing with params-hash validation and resume.
+
+North_rule: signatures, candidate-pair, and component stages checkpoint to a
+table store with per-partition lineage + metrics, and a re-run resumes from
+completed stages. Locally the store is parquet directories; the layout and
+semantics are Iceberg-shaped (a production deployment points `TableStore` at
+an Iceberg catalog — `df.writeTo(...).append()` — without touching pipeline
+code; this sandbox has no Iceberg runtime jars).
+
+Every stage directory carries a `_finch_meta.json` with (run_id, stage,
+params_hash, row_count). Resume REQUIRES the params_hash to match — a
+mismatch hard-fails, mirroring the reference's sketch-compatibility check
+(`SketchParams::check_compatibility`, `sketch_schemes/mod.rs:179-212`),
+instead of silently mixing sketches from different configs.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParamsMismatch(RuntimeError):
+    pass
+
+
+class TableStore:
+    """Parquet-backed stage store with Iceberg-shaped append/read semantics."""
+
+    def __init__(self, root: str | Path, params_hash: str, run_id: str | None = None):
+        self.root = Path(root)
+        self.params_hash = params_hash
+        self.run_id = run_id or time.strftime("run-%Y%m%d-%H%M%S")
+
+    def _dir(self, stage: str) -> Path:
+        return self.root / stage
+
+    def exists(self, stage: str) -> bool:
+        meta = self._dir(stage) / "_finch_meta.json"
+        if not meta.exists():
+            return False
+        info = json.loads(meta.read_text())
+        if info["params_hash"] != self.params_hash:
+            raise ParamsMismatch(
+                f"checkpoint stage '{stage}' was written with params_hash="
+                f"{info['params_hash']}, current config hashes to "
+                f"{self.params_hash}; refusing to resume across configs"
+            )
+        return True
+
+    def write(self, stage: str, df: DataFrame, mode: str = "overwrite") -> DataFrame:
+        path = self._dir(stage)
+        # per-partition lineage: tag rows with the writing partition id so a
+        # partial failure is attributable; cheap (generated column, no shuffle)
+        tagged = df.withColumn("_partition_id", F.spark_partition_id())
+        tagged.write.mode(mode).parquet(str(path))
+        out = self.read(stage)
+        n = out.count()
+        meta = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "params_hash": self.params_hash,
+            "row_count": n,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        (path / "_finch_meta.json").write_text(json.dumps(meta, indent=1))
+        return out
+
+    def read(self, stage: str) -> DataFrame:
+        spark = SparkSession.getActiveSession()
+        return spark.read.parquet(str(self._dir(stage))).drop("_partition_id")
+
+    def read_meta(self, stage: str) -> dict:
+        return json.loads((self._dir(stage) / "_finch_meta.json").read_text())
+
+    def get_or_compute(self, stage: str, compute) -> DataFrame:
+        """Resume semantics: reuse the stage output iff it exists AND its
+        params_hash matches; otherwise compute and persist."""
+        if self.exists(stage):
+            return self.read(stage)
+        return self.write(stage, compute())

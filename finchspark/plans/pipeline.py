@@ -1,0 +1,126 @@
+"""End-to-end near-duplicate pipeline: documents → signatures → candidates →
+verified pairs → components.
+
+Spark shape (SURVEY.md §3.2): one embarrassingly-parallel signature pass, a
+banding self-join for candidates, an Arrow verify kernel, then O(log n)
+large-star/small-star rounds. With a `TableStore` every stage checkpoints and
+a re-run resumes from the last completed stage (params-hash validated).
+
+Short documents (fewer than `short_doc_min_kmers` shingles) have unstable
+MinHash signatures; they take the SimHash path: banded 16-bit chunks of the
+64-bit SimHash generate candidates (pigeonhole-complete for Hamming
+distance < 4), verified by exact Hamming distance. Exact duplicates
+(including zero-shingle docs) are always caught by sha256 grouping.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.cc import connected_components
+from ..operators.lsh import candidate_pairs, exact_dup_pairs_sha
+from ..operators.signature import build_signatures
+from ..operators.verify import verify_pairs
+from .checkpoint import TableStore
+
+
+@dataclass
+class NearDupResult:
+    signatures: DataFrame
+    pairs: DataFrame  # verified near-dup pairs above threshold
+    components: DataFrame  # (node, component)
+    bucket_overflow: DataFrame  # capped LSH buckets (skew metrics)
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, config: PipelineConfig, key_col: str = "doc_id"
+) -> DataFrame:
+    """Hamming-banded SimHash pairs for short documents. Any pair with
+    Hamming distance < 4 shares one of the four 16-bit chunks; verified
+    exactly with bit_count (JVM-side, whole-stage codegen)."""
+    short = signatures.filter(
+        (F.col("n_kmers") > 0) & (F.col("n_kmers") < config.short_doc_min_kmers)
+    ).select(key_col, "simhash")
+    chunks = short.select(
+        key_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.select(
+        "chunk_id", "chunk_val", F.col(key_col).alias("key_a"), F.col("simhash").alias("sim_a")
+    )
+    b = chunks.select(
+        "chunk_id", "chunk_val", F.col(key_col).alias("key_b"), F.col("simhash").alias("sim_b")
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return pairs.filter(
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        <= config.simhash_max_hamming
+    ).select("key_a", "key_b")
+
+
+def near_duplicates(
+    documents: DataFrame,
+    config: PipelineConfig | None = None,
+    key_col: str = "doc_id",
+    content_col: str = "content",
+    store: TableStore | None = None,
+    include_simhash_path: bool = True,
+    include_exact_path: bool = True,
+) -> NearDupResult:
+    config = config or PipelineConfig()
+
+    def _stage(name: str, compute):
+        if store is None:
+            return compute()
+        return store.get_or_compute(name, compute)
+
+    signatures = _stage(
+        "signatures",
+        lambda: build_signatures(
+            documents, config, key_cols=(key_col,), content_col=content_col
+        ),
+    )
+
+    def compute_pairs():
+        cands, _overflow = candidate_pairs(signatures, config.lsh, key_col)
+        verified = verify_pairs(cands, signatures, config, key_col)
+        return verified.filter(F.col("jaccard") >= config.jaccard_threshold)
+
+    pairs = _stage("pairs", compute_pairs)
+    _, bucket_overflow = candidate_pairs(signatures, config.lsh, key_col)
+
+    edge_frames = [pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))]
+    if include_exact_path:
+        edge_frames.append(
+            exact_dup_pairs_sha(signatures, key_col).select(
+                F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+            )
+        )
+    if include_simhash_path:
+        edge_frames.append(
+            simhash_candidate_pairs(signatures, config, key_col).select(
+                F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+            )
+        )
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+
+    components = _stage("components", lambda: connected_components(edges))
+    return NearDupResult(signatures, pairs, components, bucket_overflow)

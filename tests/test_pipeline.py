@@ -1,0 +1,113 @@
+"""End-to-end near-duplicate pipeline: recall vs brute-force reference,
+cluster assignment parity, checkpoint/resume semantics."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finchspark.config import PipelineConfig
+from finchspark.kernels import SketchParams
+from finchspark.plans.checkpoint import ParamsMismatch, TableStore
+from finchspark.plans.pipeline import near_duplicates
+from tests.conftest import brute_force_pairs, union_find_components
+
+THRESH = 0.8
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(
+        sketch=SketchParams(kmers_to_sketch=128, final_size=128),
+        jaccard_threshold=THRESH,
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark, documents_df, cfg):
+    return near_duplicates(documents_df, cfg, key_col="doc_id")
+
+
+@pytest.fixture(scope="module")
+def reference(corpus, cfg):
+    docs, _ = corpus
+    return brute_force_pairs(docs, cfg.sketch, THRESH)
+
+
+def test_pair_recall_ge_099(result, reference):
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in result.pairs.select("key_a", "key_b").collect()
+    }
+    missed = reference - got
+    recall = 1 - len(missed) / max(len(reference), 1)
+    assert len(reference) > 20, "fixture should plant a meaningful pair set"
+    assert recall >= 0.99, f"recall {recall}: missed {sorted(missed)[:10]}"
+
+
+def test_pair_precision_exact_verify(result, reference, corpus, cfg):
+    """Every emitted pair's jaccard must equal the brute-force kernel value
+    (verification is exact, so no false positives above threshold)."""
+    docs, _ = corpus
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in result.pairs.select("key_a", "key_b").collect()
+    }
+    assert got <= reference, f"false positives: {sorted(got - reference)[:10]}"
+
+
+def test_planted_exact_pairs_found(result, corpus):
+    _, truth = corpus
+    comp = {r["node"]: r["component"] for r in result.components.collect()}
+    for a, b, label in truth:
+        if label.startswith("exact"):
+            assert comp.get(a, a) == comp.get(b, b), (a, b, label)
+
+
+def test_components_match_union_find(result, corpus, reference):
+    """Cluster assignments = transitive closure of (brute-force near-dup
+    pairs ∪ exact sha pairs ∪ simhash short pairs). The pipeline's components
+    must induce the same partition on the nodes covered by `reference`."""
+    docs, _ = corpus
+    comp_rows = {r["node"]: r["component"] for r in result.components.collect()}
+    # edges the pipeline is expected to recover: reference near-dup pairs
+    expect = union_find_components(len(docs), reference)
+    # compare partition restricted to nodes that appear in reference pairs
+    nodes = sorted({n for p in reference for n in p})
+    for n in nodes:
+        assert n in comp_rows, f"node {n} missing from components"
+    # same-cluster relation must match on reference nodes (pipeline may add
+    # extra edges from the simhash/exact paths, which only merge clusters
+    # of identical/near-identical short docs — restrict to reference nodes)
+    for i in nodes:
+        for j in nodes:
+            if i < j:
+                same_ref = expect[i] == expect[j]
+                same_got = comp_rows[i] == comp_rows[j]
+                if same_ref:
+                    assert same_got, (i, j)
+
+
+def test_short_doc_exact_pair_clustered(result, corpus):
+    docs, truth = corpus
+    comp = {r["node"]: r["component"] for r in result.components.collect()}
+    short_pairs = [(a, b) for a, b, lab in truth if lab == "exact_short"]
+    for a, b in short_pairs:
+        assert comp.get(a, a) == comp.get(b, b)
+
+
+def test_checkpoint_resume_and_params_guard(spark, documents_df, cfg, tmp_path):
+    store = TableStore(tmp_path / "ckpt", cfg.params_hash())
+    r1 = near_duplicates(documents_df, cfg, store=store)
+    n_pairs = r1.pairs.count()
+    meta = store.read_meta("signatures")
+    assert meta["params_hash"] == cfg.params_hash()
+    # resume: same store, recompute object — stages must be READ, not rebuilt
+    r2 = near_duplicates(documents_df.limit(0), cfg, store=store)
+    assert r2.pairs.count() == n_pairs  # read from checkpoint despite empty input
+    # params change -> hard fail (G4 semantics)
+    cfg2 = PipelineConfig(
+        sketch=SketchParams(kmers_to_sketch=64, final_size=64),
+        jaccard_threshold=THRESH,
+    )
+    store2 = TableStore(tmp_path / "ckpt", cfg2.params_hash())
+    with pytest.raises(ParamsMismatch):
+        near_duplicates(documents_df, cfg2, store=store2)

@@ -1,0 +1,86 @@
+"""Signature stage through Spark: UDF plumbing must not alter kernel
+semantics (SURVEY.md §5 layer 2)."""
+import hashlib
+
+import numpy as np
+import pytest
+
+from finchspark.config import PipelineConfig
+from finchspark.kernels import (
+    SketchParams,
+    i64_to_u64_shifted,
+    shingle_hashes,
+    simhash64,
+    sketch_hashes,
+)
+from finchspark.operators.signature import build_signatures
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, documents_df):
+    cfg = PipelineConfig(sketch=SketchParams(kmers_to_sketch=128, final_size=128))
+    df = build_signatures(documents_df, cfg, key_cols=("doc_id",))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    return cfg, rows
+
+
+def test_signature_matches_kernel_reference(sigs, corpus):
+    cfg, rows = sigs
+    docs, _ = corpus
+    assert len(rows) == len(docs)
+    p = cfg.sketch
+    for d in docs:
+        content = d["content"].encode()
+        expect = sketch_hashes(shingle_hashes(content, p.kmer_length, p.hash_seed), p)
+        got = rows[d["doc_id"]]
+        got_hashes = i64_to_u64_shifted(np.array(got["hashes"], dtype=np.int64))
+        assert np.array_equal(got_hashes, expect.hashes), d["doc_id"]
+        assert got["counts"] == expect.counts.tolist()
+        # ascending unsigned order via the shifted-i64 bridge
+        if len(got["hashes"]) > 1:
+            assert np.all(np.diff(np.array(got["hashes"], np.int64)) > 0)
+
+
+def test_sha256_invariant(sigs, corpus):
+    """Per-row invariant vs the source table (BASELINE.json input_hint)."""
+    _, rows = sigs
+    docs, _ = corpus
+    for d in docs:
+        expect = hashlib.sha256(d["content"].encode()).hexdigest()
+        assert rows[d["doc_id"]]["sha256"] == expect
+
+
+def test_signature_counts_and_simhash(sigs, corpus):
+    cfg, rows = sigs
+    docs, _ = corpus
+    p = cfg.sketch
+    for d in docs:
+        content = d["content"].encode()
+        got = rows[d["doc_id"]]
+        n = len(content)
+        assert got["n_bytes"] == n
+        assert got["n_kmers"] == max(n - p.kmer_length + 1, 0)
+        h = shingle_hashes(content, p.kmer_length, p.hash_seed)
+        assert got["n_unique"] == len(np.unique(h))
+        got_sim = np.array(got["simhash"], np.int64).view(np.uint64)
+        assert got_sim == np.uint64(simhash64(h))
+
+
+def test_empty_and_short_docs(sigs, corpus):
+    _, rows = sigs
+    docs, _ = corpus
+    for d in docs:
+        if len(d["content"]) < 21:
+            got = rows[d["doc_id"]]
+            assert got["hashes"] == []
+            assert got["bands"] == []  # no shingles -> no LSH buckets
+            assert got["simhash"] == 0
+
+
+def test_bands_shape(sigs, corpus):
+    cfg, rows = sigs
+    docs, _ = corpus
+    for d in docs:
+        got = rows[d["doc_id"]]
+        if got["n_kmers"] > 0:
+            assert len(got["bands"]) == cfg.lsh.n_bands
