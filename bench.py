@@ -1,0 +1,131 @@
+"""Benchmark: near-duplicate pipeline throughput on the driver test data.
+
+Prints ONE JSON line:
+  {"metric": "neardup_pipeline", "value": <end-to-end sec>, "unit": "sec",
+   "queries": {...per-stage sec + files_per_sec...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SYNTH (optional: n_base for the deterministic synthetic
+       source-code corpus, FIXTURES.md §B — e.g. 30000 ≈ 50k files; the
+       corpus parquet is generated once and cached under /tmp).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("finchspark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.operators.ann import cosine_topk_lsh
+    from finchspark.operators.cc import connected_components
+    from finchspark.operators.lsh import candidate_pairs, exact_dup_pairs_sha
+    from finchspark.operators.signature import build_signatures
+    from finchspark.operators.verify import verify_pairs
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(kmers_to_sketch=128, final_size=128, kmer_length=21),
+        jaccard_threshold=0.5,
+    )
+
+    synth_n = os.environ.get("SPARK_GRAFT_SYNTH")
+    if synth_n:
+        from finchspark.sources.synth import write_synth_parquet
+
+        n_base = int(synth_n)
+        cache = f"/tmp/finchspark_synth_{n_base}_42.parquet"
+        if not os.path.exists(cache):
+            write_synth_parquet(cache, n_base=n_base)
+        docs = spark.read.parquet(cache)
+        content_col = "content"
+        sf = f"synth{n_base}"
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        content_col = "text"
+    n_files = docs.count()
+    total_bytes = docs.select(
+        F.sum(F.octet_length(content_col)).alias("b")
+    ).first()["b"]
+    timings: dict[str, float] = {}
+
+    t_start = time.perf_counter()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        sigs = build_signatures(docs, cfg, key_cols=("doc_id",), content_col=content_col)
+        sigs.write.mode("overwrite").parquet(f"{tmp}/signatures")
+        sigs = spark.read.parquet(f"{tmp}/signatures")
+        timings["signatures"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+        verified = verify_pairs(cands, sigs, cfg, key_col="doc_id")
+        pairs = verified.filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
+        pairs = spark.read.parquet(f"{tmp}/pairs")
+        n_pairs = pairs.count()
+        timings["lsh_verify"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        edges = pairs.select(
+            F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+        ).unionByName(
+            exact_dup_pairs_sha(sigs, "doc_id").select(
+                F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+            )
+        )
+        comps = connected_components(edges)
+        n_comp = comps.count()
+        timings["connected_components"] = time.perf_counter() - t0
+
+    pipeline_sec = time.perf_counter() - t_start
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    cosine_topk_lsh(emb, k=5, query_mod=10).count()
+    timings["ann_lsh"] = time.perf_counter() - t0
+
+    timings["files_per_sec"] = round(n_files / pipeline_sec, 1)
+    timings["sig_mb_per_sec"] = round(
+        total_bytes / 1e6 / timings["signatures"], 2
+    )
+    timings["n_files"] = n_files
+    timings["n_pairs"] = n_pairs
+    timings["n_clustered_nodes"] = n_comp
+    out = {
+        "metric": "neardup_pipeline",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in timings.items()},
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ from .distance import (
 )
 from .simhash import hamming64, simhash64, simhash64_batch, simhash_band_keys
 from .oph import band_hashes, oph_signatures
+from .suffix import common_spans, lcp_array, span_coverage, suffix_array
 
 __all__ = [
     "U64_MAX",
@@ -94,4 +95,8 @@ __all__ = [
     "hamming64",
     "oph_signatures",
     "band_hashes",
+    "suffix_array",
+    "lcp_array",
+    "common_spans",
+    "span_coverage",
 ]

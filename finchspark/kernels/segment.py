@@ -30,7 +30,11 @@ def segment_count_distinct(
     if len(hashes) == 0:
         z = np.empty(0, np.int64)
         return z, np.empty(0, np.uint64), z, z
-    order = np.lexsort((hashes, doc_idx))
+    # two stable radix argsorts == lexsort((hashes, doc_idx)), measurably
+    # faster than numpy's generic lexsort on 64-bit keys
+    perm1 = np.argsort(hashes, kind="stable")
+    perm2 = np.argsort(doc_idx[perm1], kind="stable")
+    order = perm1[perm2]
     d = doc_idx[order]
     h = hashes[order]
     new_group = np.empty(len(h), dtype=bool)

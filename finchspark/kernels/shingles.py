@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .murmur3 import murmur3_x64_128_low64
+from .murmur3 import murmur3_sliding_low64, murmur3_x64_128_low64
 
 
 def shingle_hashes(content: bytes, k: int, seed: int = 0) -> np.ndarray:
@@ -48,13 +48,16 @@ def blob_shingle_hashes(
     if total == 0:
         return np.empty(0, dtype=np.uint64), doc_offsets
 
-    windows = np.lib.stride_tricks.sliding_window_view(blob, k)
+    # hash EVERY window of the concatenated blob in one sequential-memory
+    # sliding kernel (boundary-crossing windows included — ~(k-1)/avg_len
+    # wasted work), then select the in-document ones with a u64 gather.
+    # Measured much faster than gathering (n, k) window rows.
+    all_hashes = murmur3_sliding_low64(blob, k, seed)
     # window start index in blob for each emitted shingle
     # = doc_byte_start[d] + (local shingle index within doc)
     local = np.arange(total, dtype=np.int64) - np.repeat(doc_offsets[:-1], n_kmers)
     starts = np.repeat(byte_offsets[:-1], n_kmers) + local
-    mat = np.ascontiguousarray(windows[starts])
-    return murmur3_x64_128_low64(mat, seed), doc_offsets
+    return all_hashes[starts], doc_offsets
 
 
 def batch_shingle_hashes(

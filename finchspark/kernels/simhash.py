@@ -45,17 +45,26 @@ def simhash64_batch(
     if len(hashes) == 0:
         return out
     hashes = np.asarray(hashes, dtype=np.uint64)
-    signed = (2 * ((hashes[:, None] >> _BITS) & np.uint64(1)).astype(np.int64)) - 1
-    if weights is not None:
-        signed = signed * np.asarray(weights, dtype=np.int64)[:, None]
     # reduce only over non-empty documents: their starts are strictly
     # increasing and < len(hashes), and consecutive non-empty starts are
     # exactly the segment boundaries (empty docs have zero width)
     nonempty = np.nonzero(doc_offsets[:-1] < doc_offsets[1:])[0]
     starts = np.asarray(doc_offsets[:-1])[nonempty]
-    votes = np.add.reduceat(signed, starts, axis=0)  # (n_nonempty, 64)
-    bitvals = (votes > 0).astype(np.uint64) << _BITS[None, :]
-    out[nonempty] = bitvals.sum(axis=1, dtype=np.uint64)
+    w = None if weights is None else np.asarray(weights, dtype=np.int64)
+    # vote_b = 2 * (weighted count of set bit b) - (total weight); process
+    # one bit-plane at a time so peak memory stays O(n), not O(64 n)
+    if w is None:
+        totals = np.add.reduceat(np.ones(len(hashes), np.int64), starts)
+    else:
+        totals = np.add.reduceat(w, starts)
+    sig = np.zeros(len(starts), dtype=np.uint64)
+    for b in range(64):
+        bit = ((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        if w is not None:
+            bit = bit * w
+        set_cnt = np.add.reduceat(bit, starts)
+        sig |= ((2 * set_cnt - totals) > 0).astype(np.uint64) << np.uint64(b)
+    out[nonempty] = sig
     return out
 
 

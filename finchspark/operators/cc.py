@@ -70,14 +70,16 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
         e = e.filter(F.col("src") != F.col("dst")).distinct()
-        e = e.localCheckpoint(eager=True)
-        # convergence: edge multiset stable (order-insensitive checksum)
-        # bit_xor: overflow-free (ANSI mode) set checksum — edges are distinct
+        # lazy checkpoint + ONE action per iteration: the convergence
+        # signature below materializes the checkpoint inside the same job
+        e = e.localCheckpoint(eager=False)
+        # convergence: edge set stable (order-insensitive checksum);
+        # bit_xor is overflow-free under ANSI mode and edges are distinct
         sig = e.select(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),

@@ -1,0 +1,119 @@
+"""Dedup operator family over generic document tables.
+
+Exact dedup (hash groupBy), character n-gram Jaccard (set ops in codegen),
+best-match (D5, `lib/src/python.rs:196-216` as a max_by aggregation),
+containment/threshold filters (F10/F8 analogues). MinHash+LSH and SimHash
+dedup live in `finchspark.plans.pipeline`; these are the SQL-expressible
+members of the family with DuckDB oracles in `__spark_entry__.py`.
+
+Scale notes: exact dedup is one shuffle on the content hash; the banded
+n-gram Jaccard restricts the self-join to a bounded key-distance band —
+the exact-verification analogue for small windows, not the production
+candidate generator (that's LSH).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dup_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """All (key_a < key_b) pairs with byte-identical text."""
+    a = docs.select(F.col(key).alias("key_a"), F.md5(text).alias("h"))
+    b = docs.select(F.col(key).alias("key_b"), F.md5(text).alias("h"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+
+
+def exact_dup_clusters(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """(key, cluster_id) for every doc in a >1-member identical-text group;
+    cluster_id = min key of the group. One shuffle (groupBy md5)."""
+    h = docs.select(F.col(key), F.md5(text).alias("h"))
+    grp = h.groupBy("h").agg(
+        F.min(key).alias("cluster_id"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        h.join(grp.filter(F.col("n") > 1), "h")
+        .select(F.col(key), "cluster_id")
+    )
+
+
+def _gram_array(text: str, n: int):
+    # NB: Spark's sequence(1, 0) produces a DESCENDING [1, 0] rather than an
+    # empty array, so short strings need an explicit guard
+    return F.expr(
+        f"case when length({text}) >= {n} then "
+        f"array_distinct(transform(sequence(1, length({text}) - {n - 1}),"
+        f" i -> substring({text}, i, {n}))) else array() end"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    key_band: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Character-n-gram Jaccard + containment for pairs within `key_band` of
+    each other (bounded exact comparison; LSH is the scale path).
+
+    Output: (key_a, key_b, jaccard, containment) — containment of A's grams
+    in B, i.e. |A ∩ B| / |A|.
+    """
+    g = docs.select(F.col(key).alias("k"), _gram_array(text, n).alias("grams"))
+    a = g.select(F.col("k").alias("key_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("k").alias("key_b"), F.col("grams").alias("gb"))
+    joined = a.join(
+        b,
+        (F.col("key_b") > F.col("key_a"))
+        & (F.col("key_b") <= F.col("key_a") + key_band),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return joined.select(
+        "key_a",
+        "key_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("jaccard"),
+        F.when(F.size("ga") > 0, inter / F.size("ga")).otherwise(F.lit(0.0)).alias(
+            "containment"
+        ),
+    )
+
+
+def best_match(
+    pairs: DataFrame, query: str = "key_a", ref: str = "key_b", metric: str = "containment"
+) -> DataFrame:
+    """D5: per query, the reference with max containment (deterministic
+    tiebreak on smaller ref key) — `best_match`, `lib/src/python.rs:196-216`."""
+    w = Window.partitionBy(query).orderBy(F.col(metric).desc(), F.col(ref).asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(query, ref, metric)
+    )
+
+
+def containment_filter(pairs: DataFrame, threshold: float) -> DataFrame:
+    """F10: keep pairs with containment >= threshold
+    (`filter_to_matches`, `lib/src/python.rs:223-234`)."""
+    return pairs.filter(F.col("containment") >= threshold)
+
+
+def max_dist_filter(pairs: DataFrame, max_dist: float, col: str = "mash_distance") -> DataFrame:
+    """F8: drop pairs with mash_distance > max_dist (`cli/src/main.rs:327-330`)."""
+    return pairs.filter(F.col(col) <= max_dist)
+
+
+def mash_distance_col(jaccard_col: str, k: int):
+    """D2 as a column expression: -ln(2j/(1+j))/k clamped to [0,1]
+    (`lib/src/distance.rs:37-41`)."""
+    j = F.col(jaccard_col)
+    d = -F.log((2.0 * j) / (1.0 + j)) / F.lit(float(k))
+    return F.when(j <= 0.0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), d))
+    )

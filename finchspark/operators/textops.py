@@ -47,7 +47,9 @@ def quality_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") -> 
     toks = _tokens(text)
     n_chars = F.length(text)
     nonspace = F.length(F.regexp_replace(F.col(text), r"\s", ""))
-    punct = nonspace - F.length(F.regexp_replace(F.col(text), r"[^a-zA-Z0-9\s]", ""))
+    # regexp_replace strips exactly the non-alnum-non-space chars, so the
+    # length drop IS the punctuation count
+    punct = n_chars - F.length(F.regexp_replace(F.col(text), r"[^a-zA-Z0-9\s]", ""))
     upper = F.length(F.col(text)) - F.length(F.regexp_replace(F.col(text), r"[A-Z]", ""))
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
@@ -65,17 +67,20 @@ def quality_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") -> 
 
 def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Heuristic language ID: CJK character share decides 'zh'; otherwise the
-    stopword list with the most token hits wins (deterministic tiebreak by
-    language code order en < de < es < fr)."""
+    stopword list with the most token hits wins (deterministic tiebreak:
+    first language in alphabetical order attaining the max; 'und' when no
+    stopword hits at all)."""
     toks = _tokens(text)
-    hit_cols = []
-    for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hit_cols.append(
-            F.size(F.filter(toks, lambda t, a=arr: F.array_contains(a, F.lower(t)))).alias(
-                f"hits_{lang}"
-            )
-        )
+
+    def _hits(stopwords: list[str]):
+        arr = F.array(*[F.lit(w) for w in stopwords])
+        # single-arg lambda on purpose: Spark treats a 2-arg higher-order
+        # function lambda as (element, index)
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+    hit_cols = [
+        _hits(STOPWORDS[lang]).alias(f"hits_{lang}") for lang in sorted(STOPWORDS)
+    ]
     cjk = F.length(F.col(text)) - F.length(
         F.regexp_replace(F.col(text), r"[一-鿿]", "")
     )
@@ -101,12 +106,14 @@ def fingerprints(
 ) -> DataFrame:
     """Document fingerprint: minimum md5 over all character n-grams — a
     1-permutation MinHash usable as a cheap near-dup blocking key."""
-    # substring with a dynamic start needs expr(); stays in codegen
+    # substring with a dynamic start needs expr(); stays in codegen.
+    # case-guard because Spark's sequence(1, 0) is DESCENDING, not empty
     return docs.select(
         F.col(key),
         F.expr(
-            f"array_min(transform(sequence(1, greatest(length({text}) - {n - 1}, 0)),"
-            f" i -> md5(substring({text}, i, {n}))))"
+            f"case when length({text}) >= {n} then "
+            f"array_min(transform(sequence(1, length({text}) - {n - 1}),"
+            f" i -> md5(substring({text}, i, {n})))) else cast(null as string) end"
         ).alias("fingerprint"),
     )
 

@@ -96,6 +96,11 @@ def near_duplicates(
             documents, config, key_cols=(key_col,), content_col=content_col
         ),
     )
+    if store is None:
+        # the candidate join + sha/simhash paths reference signatures several
+        # times; without a checkpoint table the UDF stage would be recomputed
+        # per reference (verified via .explain) — materialize it once
+        signatures = signatures.persist()
 
     def compute_pairs():
         cands, _overflow = candidate_pairs(signatures, config.lsh, key_col)

@@ -1,0 +1,78 @@
+"""Full driver-style parity sweep at a given SF (default sf0.01).
+
+Usage: python scripts/oracle_parity.py [sf_dir]
+Prints per-query PASS/FAIL with row counts; exit 1 on any failure.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def normalize(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        key = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0:
+                    v = 0.0
+            key.append(v)
+        out.append(tuple(key))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    oracles = entry.oracle_sql()
+    queries = entry.queries()
+    failures = 0
+    for name in sorted(queries):
+        sdf = queries[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:24s} rows-only  n={len(srows)}")
+            continue
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok_schema = sorted(sdf.columns) == sorted(dcols)
+        got, want = normalize(srows, sdf.columns), normalize(drows, dcols)
+        ok = ok_schema and got == want
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failures += 1
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:2]
+            print(f"{name:24s} {status}  n={len(srows)}/{len(drows)} schema_ok={ok_schema} first_diff={diff}")
+        else:
+            print(f"{name:24s} {status}  n={len(srows)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,78 @@
+"""Two-parallelism-level scaling evidence (north_rule).
+
+Runs the full near-dup pipeline at the same SF on local[N] and local[4N]
+in separate JVMs (sequential, fresh session each) and reports throughput at
+both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Usage: python scripts/scaling.py [sf_dir] [N]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_once(sf_dir: str, cpus: int, synth: int | None = None) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    if synth:
+        env["SPARK_GRAFT_SYNTH"] = str(synth)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    """Usage: scaling.py [sf_dir] [N] [synth_n_base]
+
+    The driver's sf0.1 documents table is ~1.5 MB — pure scheduling overhead
+    at any core count — so the scaling evidence uses the deterministic
+    synthetic source-code corpus (FIXTURES.md §B) at ~50k files by default.
+    """
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    synth = int(sys.argv[3]) if len(sys.argv) > 3 else 30000
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # the sandbox VM shows large transient throttling (identical numpy work
+    # varying 3-20x between runs), so interleave repeats and take the best
+    # run per core count — that is the machine's actual capability at each
+    # parallelism level
+    lows, highs = [], []
+    for _ in range(repeats):
+        lows.append(run_once(sf_dir, n, synth))
+        highs.append(run_once(sf_dir, 4 * n, synth))
+    lo = min(lows, key=lambda r: r["value"])
+    hi = min(highs, key=lambda r: r["value"])
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / 4.0
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_cores_low": n,
+                "n_cores_high": 4 * n,
+                "sec_low": t_lo,
+                "sec_high": t_hi,
+                "sec_low_all": [r["value"] for r in lows],
+                "sec_high_all": [r["value"] for r in highs],
+                "files_per_sec_low": lo["queries"]["files_per_sec"],
+                "files_per_sec_high": hi["queries"]["files_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

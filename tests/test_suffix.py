@@ -1,0 +1,79 @@
+"""Suffix-array span-dedup kernel + operator tests."""
+import numpy as np
+import pytest
+
+from finchspark.kernels.suffix import common_spans, lcp_array, span_coverage, suffix_array
+
+
+def _naive_sa(s: bytes) -> list[int]:
+    return sorted(range(len(s)), key=lambda i: s[i:])
+
+
+@pytest.mark.parametrize(
+    "s",
+    [b"banana", b"mississippi", b"aaaa", b"abcabcabc", b"z", b"", b"abab\x00abab"],
+)
+def test_suffix_array_matches_naive(s):
+    arr = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    got = suffix_array(arr).tolist()
+    assert got == _naive_sa(s)
+
+
+def test_lcp_array_banana():
+    s = np.frombuffer(b"banana", dtype=np.uint8).astype(np.int64)
+    sa = suffix_array(s)
+    lcp = lcp_array(s, sa)
+    # suffixes sorted: a, ana, anana, banana, na, nana
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+    assert lcp.tolist() == [1, 3, 0, 0, 2]
+
+
+def test_common_spans_basic():
+    shared = b"0123456789abcdefghijklmnopqrstuvwxyz_SHARED_SPAN_BODY"
+    a = b"AAA" + shared + b"BBB"
+    b = b"xyz" + shared + b"qqq"
+    spans = common_spans(a, b, min_len=16)
+    assert spans, "shared span must be found"
+    pa, pb, ln = max(spans, key=lambda t: t[2])
+    assert a[pa : pa + ln] == b[pb : pb + ln]
+    assert ln >= len(shared)
+    assert shared in a[pa : pa + ln] or a[pa : pa + ln] in shared or len(a[pa:pa+ln]) >= len(shared)
+
+
+def test_common_spans_none_below_min_len():
+    a = b"completely different content here with nothing shared!"
+    b = bytes(reversed(a))
+    assert common_spans(a, b, min_len=16) == []
+
+
+def test_span_coverage_containment():
+    inner = b"def shared_function(x):\n    return x * 42\n" * 3
+    a = inner
+    b = b"# header\n" + inner + b"# footer\n"
+    cov = span_coverage(a, b, min_len=32)
+    assert cov == 1.0  # a fully contained in b
+    assert 0.0 < span_coverage(b, a, min_len=32) < 1.0
+
+
+def test_span_dedup_operator(spark):
+    from finchspark.operators.spandedup import span_dedup_pairs
+
+    shared = "".join(f"line_{i} = compute_{i}(value_{i})\n" for i in range(20))
+    rows = [
+        (0, "prefix0\n" + shared + "suffix0\n"),
+        (1, "prefix1\n" + shared + "suffix1\n"),
+        (2, "totally unrelated tiny file\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "key_a long, key_b long")
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in span_dedup_pairs(pairs, docs, min_len=64).collect()
+    }
+    hit = out[(0, 1)]
+    assert hit["n_spans"] >= 1
+    assert hit["longest_span"] >= len(shared)
+    assert hit["coverage_a"] > 0.8
+    miss = out[(0, 2)]
+    assert miss["n_spans"] == 0
+    assert miss["coverage_a"] == 0.0
