@@ -194,8 +194,14 @@ def _q_signature_stats(spark, sf):
 
 
 def _q_minhash_signatures(spark, sf):
+    from finchspark.functions import mean_depth
+
     return _signatures(spark, sf).select(
-        "doc_id", F.size("hashes").alias("sig_size"), "n_unique", "simhash"
+        "doc_id",
+        F.size("hashes").alias("sig_size"),
+        "n_unique",
+        "simhash",
+        F.round(mean_depth("counts"), 9).alias("mean_depth"),
     )
 
 
@@ -261,6 +267,21 @@ def _q_simhash_pairs(spark, sf):
     return simhash_candidate_pairs(_signatures(spark, sf), _cfg())
 
 
+def _q_span_dedup(spark, sf):
+    from finchspark.operators.spandedup import span_dedup_pairs
+
+    pairs = _q_near_dup_pairs(spark, sf).select("key_a", "key_b")
+    docs = _docs(spark, sf).withColumnRenamed("text", "content")
+    out = span_dedup_pairs(pairs, docs, min_len=32)
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_spans",
+        "longest_span",
+        F.round("coverage_a", 9).alias("coverage_a"),
+    )
+
+
 def _q_cosine_topk(spark, sf):
     from finchspark.operators.ann import cosine_topk
 
@@ -309,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_neardup": _q_cc_neardup,
         "merged_signatures": _q_merged_signatures,
         "simhash_pairs": _q_simhash_pairs,
+        "span_dedup": _q_span_dedup,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
     }

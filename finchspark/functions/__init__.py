@@ -34,6 +34,14 @@ def mash_distance(jaccard: Column, k: int) -> Column:
     )
 
 
+def mean_depth(counts_col: str = "counts") -> Column:
+    """G3: mean retained-shingle depth per document (`cli/src/main.rs:146-187`
+    weighted-histogram mean, expressed directly over the counts array)."""
+    total = F.aggregate(counts_col, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(counts_col)
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def depth_histogram(signatures, counts_col: str = "counts"):
     """G2: corpus-level depth histogram over signature count arrays
     (`hist`, `lib/src/statistics.rs:30-47`, sparse form): depth → #minmers."""

@@ -47,6 +47,7 @@ from .distance import (
     min_scale,
     old_distance,
     raw_distance,
+    raw_distance_many,
     raw_distance_walk,
 )
 from .simhash import hamming64, simhash64, simhash64_batch, simhash_band_keys
@@ -82,6 +83,7 @@ __all__ = [
     "oversketch_size",
     "hist_dense",
     "raw_distance",
+    "raw_distance_many",
     "raw_distance_walk",
     "old_distance",
     "mash_distance",

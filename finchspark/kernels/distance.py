@@ -73,6 +73,95 @@ def raw_distance(
     return containment, jaccard, common, total
 
 
+def raw_distance_many(
+    q_vals: np.ndarray,
+    q_offsets: np.ndarray,
+    r_vals: np.ndarray,
+    r_offsets: np.ndarray,
+    scale: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """`raw_distance` for MANY pairs at once — zero per-pair Python.
+
+    Inputs are segmented arrays (Arrow list layout): pair p's query hashes
+    are ``q_vals[q_offsets[p]:q_offsets[p+1]]`` (sorted distinct uint64),
+    ditto for the reference side. Returns (containment, jaccard, common,
+    total) arrays of length n_pairs with exactly `raw_distance` semantics
+    (`distance.rs:66-126`), including the stop rule and scaled-tail
+    continuation.
+
+    Implementation: one radix sort over all values tagged by pair id finds
+    per-pair intersection sizes; the pointer stop positions come from
+    per-pair max comparisons + segmented counting (bincount with boolean
+    weights) instead of per-pair searchsorted.
+    """
+    q_offsets = np.asarray(q_offsets, dtype=np.int64)
+    r_offsets = np.asarray(r_offsets, dtype=np.int64)
+    n = len(q_offsets) - 1
+    lq = np.diff(q_offsets)
+    lr = np.diff(r_offsets)
+    qi = np.repeat(np.arange(n, dtype=np.int64), lq)
+    ri = np.repeat(np.arange(n, dtype=np.int64), lr)
+    q_vals = np.asarray(q_vals, dtype=np.uint64)
+    r_vals = np.asarray(r_vals, dtype=np.uint64)
+
+    # intersection sizes: values are distinct within a side, so a common
+    # value appears exactly twice within its pair group
+    vals = np.concatenate([q_vals, r_vals])
+    pid = np.concatenate([qi, ri])
+    if len(vals):
+        perm = np.argsort(vals, kind="stable")
+        perm = perm[np.argsort(pid[perm], kind="stable")]
+        sv = vals[perm]
+        sp = pid[perm]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        common = np.bincount(sp[:-1][dup], minlength=n).astype(np.int64)
+    else:
+        common = np.zeros(n, dtype=np.int64)
+
+    # per-pair maxima (0 for empty segments — only used where len > 0)
+    qmax = np.zeros(n, dtype=np.uint64)
+    rmax = np.zeros(n, dtype=np.uint64)
+    nz_q = lq > 0
+    nz_r = lr > 0
+    qmax[nz_q] = q_vals[q_offsets[1:][nz_q] - 1]
+    rmax[nz_r] = r_vals[r_offsets[1:][nz_r] - 1]
+    either_empty = ~(nz_q & nz_r)
+
+    # stop positions: the exhausted side consumes everything; the other side
+    # consumed all values <= the exhausted side's max (searchsorted 'right',
+    # realized as a segmented count)
+    qmax_rep = np.repeat(qmax, lr)
+    rmax_rep = np.repeat(rmax, lq)
+    r_le_qmax = np.bincount(ri, weights=(r_vals <= qmax_rep), minlength=n).astype(
+        np.int64
+    )
+    q_le_rmax = np.bincount(qi, weights=(q_vals <= rmax_rep), minlength=n).astype(
+        np.int64
+    )
+    i = np.where(qmax <= rmax, lq, q_le_rmax)
+    j = np.where(rmax <= qmax, lr, r_le_qmax)
+    i[either_empty] = 0
+    j[either_empty] = 0
+    common[either_empty] = 0
+
+    if scale > 0.0:
+        max_hash = np.uint64(U64_MAX // int(1.0 / scale))
+        q_below = np.bincount(qi, weights=(q_vals < max_hash), minlength=n).astype(
+            np.int64
+        )
+        r_below = np.bincount(ri, weights=(r_vals < max_hash), minlength=n).astype(
+            np.int64
+        )
+        i = np.maximum(i, q_below)
+        j = np.maximum(j, r_below)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        containment = np.where(j > 0, common / np.maximum(j, 1), 0.0)
+        total = i - common + j
+        jaccard = np.where(total > 0, common / np.maximum(total, 1), 1.0)
+    return containment, jaccard, common, total
+
+
 def raw_distance_walk(
     query: np.ndarray, ref: np.ndarray, scale: float
 ) -> tuple[float, float, int, int]:

@@ -73,8 +73,10 @@ def connected_components(
     e = e.localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iter):
+        # _small_star output is already distinct; the self-loop filter is
+        # narrow — no extra shuffle per iteration
         e = _small_star(_large_star(e))
-        e = e.filter(F.col("src") != F.col("dst")).distinct()
+        e = e.filter(F.col("src") != F.col("dst"))
         # lazy checkpoint + ONE action per iteration: the convergence
         # signature below materializes the checkpoint inside the same job
         e = e.localCheckpoint(eager=False)

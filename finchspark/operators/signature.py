@@ -75,12 +75,21 @@ def build_signatures(
     key_cols: tuple[str, ...] = ("doc_id",),
     content_col: str = "content",
     length_bucket: bool = True,
+    filters=None,
 ) -> DataFrame:
     """Compute the `signatures` DataFrame for `df`.
 
     Output columns: key_cols…, sha256, n_bytes, n_kmers, n_unique,
     hashes (array<long>, sign-shifted u64, ascending unsigned), counts,
     simhash (long, raw bit pattern), bands (array<long>, index = band_id).
+
+    `filters`: optional `kernels.FilterParams` — the abundance-weighted
+    over-sketch + filter variant (reference CLI flow, `cli/src/cli.rs:287-295`
+    + `lib/src/filtering.rs:56-87`). Pair it with an oversketched
+    `kmers_to_sketch` (see `config.with_oversketch`); the filter pipeline
+    runs per document between sketching and the final_size truncation.
+    Per-document loop (not vectorized): this is the non-default diagnostic
+    path; code-payload shingle counts are almost always 1.
     """
     params = config.sketch
     lsh = config.lsh
@@ -120,8 +129,13 @@ def build_signatures(
             gd, gh, gcounts, rank = segment_count_distinct(doc_idx, hashes, n)
             n_unique = np.bincount(gd, minlength=n).astype(np.int64)
             if sketch_type == "mash":
-                # bottom-k then truncate to final_size (A4) — one rank test
-                keep = rank < min(size, final_size)
+                # bottom-k then truncate to final_size (A4). Without filters
+                # the two folds into one rank test; with filters the full
+                # oversketched prefix must survive to the filter stage
+                if filters is not None and filters.filter_on:
+                    keep = rank < size
+                else:
+                    keep = rank < min(size, final_size)
             elif sketch_type == "scaled":
                 max_hash = np.uint64(0xFFFFFFFFFFFFFFFF // int(1.0 / scale))
                 keep = (gh <= max_hash) | (rank < size)
@@ -131,6 +145,35 @@ def build_signatures(
             per_doc = np.bincount(kd, minlength=n).astype(np.int64)
             sk_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(per_doc, out=sk_off[1:])
+
+            if filters is not None and filters.filter_on:
+                from dataclasses import replace as _dc_replace
+
+                from ..kernels import KmerCounts, filter_counts
+
+                fh, fc, fpd = [], [], np.zeros(n, dtype=np.int64)
+                for i in range(n):
+                    sl = slice(sk_off[i], sk_off[i + 1])
+                    kc = KmerCounts(
+                        sk_h[sl], sk_c[sl], np.zeros(sk_off[i + 1] - sk_off[i], np.int64)
+                    )
+                    # fresh copy per doc: filter_counts mutates the guessed
+                    # low cutoff (reference copies too, `filtering.rs:20-24`)
+                    fp = _dc_replace(filters)
+                    out_kc = filter_counts(fp, kc)
+                    if sketch_type == "mash" and len(out_kc) > final_size:
+                        out_kc = KmerCounts(
+                            out_kc.hashes[:final_size],
+                            out_kc.counts[:final_size],
+                            out_kc.extra_counts[:final_size],
+                        )
+                    fh.append(out_kc.hashes)
+                    fc.append(out_kc.counts)
+                    fpd[i] = len(out_kc)
+                sk_h = np.concatenate(fh) if fh else np.empty(0, np.uint64)
+                sk_c = np.concatenate(fc) if fc else np.empty(0, np.int64)
+                sk_off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(fpd, out=sk_off[1:])
 
             sims = simhash64_batch(hashes, doc_off, None)
             oph = oph_signatures(hashes, doc_off, m)

@@ -5,8 +5,8 @@ semantics exactly (`lib/src/distance.rs:66-126`) — NOT `array_intersect`
 (whose `total` differs when the two hash lists cover different ranges, see
 kernels.distance docstring). Candidate pairs are joined to signatures twice
 (sort-merge or AQE-chosen broadcast), then verified inside one mapInArrow
-over Arrow list columns; per-pair work is O((|a|+|b|) log) numpy, no Python
-per-element loops.
+over Arrow list columns via `raw_distance_many` — one radix sort + a few
+bincounts for the WHOLE batch, zero per-pair Python.
 
 mash_distance = -ln(2j/(1+j))/k clamped to [0,1] (`distance.rs:37-41`) is a
 plain column expression — it stays in whole-stage codegen.
@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig
-from ..kernels import i64_to_u64_shifted, raw_distance
+from ..kernels import i64_to_u64_shifted
+from ..kernels.distance import raw_distance_many
 
 
 def _verify_schema(key_type: T.DataType) -> T.StructType:
@@ -85,15 +86,7 @@ def verify_pairs(
             vb, ob = _list_to_segments(batch.column(3))
             ua = i64_to_u64_shifted(va)
             ub = i64_to_u64_shifted(vb)
-            cont = np.empty(n, np.float64)
-            jac = np.empty(n, np.float64)
-            common = np.empty(n, np.int64)
-            total = np.empty(n, np.int64)
-            for i in range(n):
-                c, j, cm, tt = raw_distance(
-                    ua[oa[i] : oa[i + 1]], ub[ob[i] : ob[i + 1]], scale
-                )
-                cont[i], jac[i], common[i], total[i] = c, j, cm, tt
+            cont, jac, common, total = raw_distance_many(ua, oa, ub, ob, scale)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),

@@ -1,0 +1,21 @@
+"""Build dist/finchspark.zip for spark-submit --py-files."""
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> None:
+    dist = REPO / "dist"
+    dist.mkdir(exist_ok=True)
+    out = dist / "finchspark.zip"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted((REPO / "finchspark").rglob("*.py")):
+            zf.write(py, py.relative_to(REPO))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

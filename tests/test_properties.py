@@ -47,6 +47,29 @@ def test_raw_distance_vectorized_matches_walk(q, r, scale_pow):
     assert raw_distance(qa, ra, scale) == raw_distance_walk(qa, ra, scale)
 
 
+@given(
+    pairs=st.lists(st.tuples(u64s, u64s), min_size=0, max_size=8),
+    scale_pow=st.integers(min_value=0, max_value=18),
+)
+@settings(max_examples=100)
+def test_raw_distance_many_matches_scalar(pairs, scale_pow):
+    import numpy as np
+
+    from finchspark.kernels.distance import raw_distance_many
+
+    scale = 10.0**-scale_pow if scale_pow else 0.0
+    qs = [np.unique(np.array(q, dtype=np.uint64)) for q, _ in pairs]
+    rs = [np.unique(np.array(r, dtype=np.uint64)) for _, r in pairs]
+    qoff = np.cumsum([0] + [len(x) for x in qs])
+    roff = np.cumsum([0] + [len(x) for x in rs])
+    qv = np.concatenate(qs) if qs else np.empty(0, np.uint64)
+    rv = np.concatenate(rs) if rs else np.empty(0, np.uint64)
+    cont, jac, common, total = raw_distance_many(qv, qoff, rv, roff, scale)
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        expect = raw_distance(q, r, scale)
+        assert (cont[i], jac[i], common[i], total[i]) == expect, i
+
+
 @given(st.binary(min_size=500, max_size=2000))
 @settings(max_examples=50)
 def test_pure_scaled_only_below_max_hash(data):
