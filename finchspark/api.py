@@ -55,6 +55,17 @@ class Sketch:
             self.hashes.hashes, self.hashes.counts, other.hashes.hashes, other.hashes.counts
         )
 
+    def compare_matrix(self, *sketches: "Sketch"):
+        """Count matrix aligned to this sketch's hashes —
+        `Sketch.compare_matrix` (`lib/src/python.rs:560-615` / D6)."""
+        from .kernels.distance import minmer_matrix
+
+        return minmer_matrix(
+            self.hashes.hashes,
+            [s.hashes.hashes for s in sketches],
+            [s.hashes.counts for s in sketches],
+        )
+
     def merge(self, other: "Sketch", size: int | None = None) -> "Sketch":
         scale = self.params.scale if self.params.sketch_type == "scaled" else None
         h, c, e = _merge(

@@ -302,6 +302,27 @@ def compare_counts(
     return common, ref_pos, q_pos, ref_count, query_count, var, skew, kurt
 
 
+def minmer_matrix(
+    ref_hashes: np.ndarray,
+    sketch_hashes: list[np.ndarray],
+    sketch_counts: list[np.ndarray],
+) -> np.ndarray:
+    """(n_sketches, |ref|) int32 count matrix aligned to the reference
+    sketch's hash positions — `minmer_matrix` (`lib/src/distance.rs:344-364`):
+    entry (s, p) = sketch s's count for ref hash p, 0 when absent."""
+    ref_hashes = np.asarray(ref_hashes, dtype=np.uint64)
+    out = np.zeros((len(sketch_hashes), len(ref_hashes)), dtype=np.int32)
+    for s, (h, c) in enumerate(zip(sketch_hashes, sketch_counts)):
+        h = np.asarray(h, dtype=np.uint64)
+        if len(h) == 0:
+            continue
+        idx = np.searchsorted(h, ref_hashes)
+        idx_c = np.minimum(idx, len(h) - 1)
+        match = h[idx_c] == ref_hashes
+        out[s, match] = np.asarray(c, dtype=np.int64)[idx_c[match]]
+    return out
+
+
 def cardinality(hashes: np.ndarray) -> int:
     """KMV distinct-count estimate with the reference's f32 arithmetic
     (`lib/src/statistics.rs:8-23`)."""

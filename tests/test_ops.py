@@ -110,3 +110,20 @@ def test_api_merge_matches_kernel():
     assert len(m.hashes.hashes) == 32
     assert np.all(np.diff(m.hashes.hashes.astype(np.uint64)) > 0)
     assert m.seq_length == a.seq_length + b.seq_length
+
+
+def test_compare_matrix_minmer():
+    import numpy as np
+
+    from finchspark.kernels.distance import minmer_matrix
+
+    ref = np.array([5, 10, 20, 30], dtype=np.uint64)
+    s1 = (np.array([5, 20, 99], dtype=np.uint64), np.array([2, 7, 1]))
+    s2 = (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    s3 = (np.array([30], dtype=np.uint64), np.array([4]))
+    m = minmer_matrix(ref, [s1[0], s2[0], s3[0]], [s1[1], s2[1], s3[1]])
+    assert m.tolist() == [[2, 0, 7, 0], [0, 0, 0, 0], [0, 0, 0, 4]]
+
+    a = sketch_bytes("a", b"common shared prefix body " * 20, n_hashes=16)
+    mat = a.compare_matrix(a)
+    assert np.array_equal(mat[0], a.hashes.counts.astype("int32"))
