@@ -19,6 +19,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401  (pa.compute namespace)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,6 +35,10 @@ from ..kernels import (
 )
 
 _EMPTY64 = 0xFFFFFFFFFFFFFFFF
+
+# sub-batch bound on content bytes per kernel invocation (see compute());
+# module-level so tests can shrink it to force the chunked path
+MAX_CHUNK_BYTES = 32 << 20
 
 
 def signature_schema(key_fields: list[T.StructField]) -> T.StructType:
@@ -114,11 +119,38 @@ def build_signatures(
     n_bands, n_rows = lsh.n_bands, lsh.n_rows
     m = lsh.signature_len
 
+    # Arrow's maxRecordsPerBatch is ROW-based; with 64 KiB documents a 20k-row
+    # batch is ~1.2 GB of content and the shingle kernel allocates ~8 bytes
+    # per content byte. Sub-batch by cumulative content BYTES so executor
+    # memory stays bounded no matter how row/byte sizes skew.
+    max_chunk_bytes = MAX_CHUNK_BYTES
+
+    def _byte_chunks(batch):
+        content = batch.column(n_key)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        sizes = pa.compute.binary_length(content.cast(pa.large_binary())).to_numpy(
+            zero_copy_only=False
+        )
+        start = 0
+        acc = 0
+        for i, s in enumerate(sizes):
+            acc += int(s)
+            if acc >= max_chunk_bytes and i + 1 > start:
+                yield batch.slice(start, i + 1 - start)
+                start = i + 1
+                acc = 0
+        if start < batch.num_rows:
+            yield batch.slice(start, batch.num_rows - start)
+
     def compute(batches):
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+        for full_batch in batches:
+            if full_batch.num_rows == 0:
                 continue
+            yield from (_one(chunk) for chunk in _byte_chunks(full_batch))
+
+    def _one(batch):
+            n = batch.num_rows
             content = batch.column(n_key)
             blob, byte_off = _string_blob(content)
             n_bytes = np.diff(byte_off)
@@ -223,6 +255,6 @@ def build_signatures(
                 "simhash",
                 "bands",
             ]
-            yield pa.RecordBatch.from_arrays(arrays, names)
+            return pa.RecordBatch.from_arrays(arrays, names)
 
     return sel.mapInArrow(compute, out_schema)

@@ -84,3 +84,31 @@ def test_bands_shape(sigs, corpus):
         got = rows[d["doc_id"]]
         if got["n_kmers"] > 0:
             assert len(got["bands"]) == cfg.lsh.n_bands
+
+
+def test_byte_bounded_subbatching(spark, documents_df, corpus):
+    """Forcing tiny sub-batches must not change any output row."""
+    import finchspark.operators.signature as sig_mod
+    from finchspark.config import PipelineConfig
+
+    cfg = PipelineConfig(sketch=SketchParams(kmers_to_sketch=64, final_size=64))
+    old = sig_mod.MAX_CHUNK_BYTES
+    try:
+        sig_mod.MAX_CHUNK_BYTES = 2048  # a few docs per kernel call
+        chunked = {
+            r["doc_id"]: r
+            for r in build_signatures(
+                documents_df, cfg, key_cols=("doc_id",)
+            ).collect()
+        }
+    finally:
+        sig_mod.MAX_CHUNK_BYTES = old
+    whole = {
+        r["doc_id"]: r
+        for r in build_signatures(documents_df, cfg, key_cols=("doc_id",)).collect()
+    }
+    assert set(chunked) == set(whole)
+    for k in whole:
+        assert chunked[k]["hashes"] == whole[k]["hashes"], k
+        assert chunked[k]["sha256"] == whole[k]["sha256"], k
+        assert chunked[k]["bands"] == whole[k]["bands"], k
