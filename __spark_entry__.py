@@ -48,14 +48,21 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_SIG_CACHE: dict[str, DataFrame] = {}
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finchspark.operators.signature import build_signatures
 
-    # persist: downstream queries reference the signature frame multiple
-    # times (self-joins); without it the UDF stage re-runs per reference
-    return build_signatures(
-        _docs(spark, sf_dir), _cfg(), key_cols=("doc_id",), content_col="text"
-    ).persist()
+    # persist + memoize per sf_dir: downstream queries reference the signature
+    # frame multiple times (self-joins) and the driver runs many queries in
+    # one session — one shared cached copy instead of one per query call
+    key = f"default:{sf_dir}"
+    if key not in _SIG_CACHE:
+        _SIG_CACHE[key] = build_signatures(
+            _docs(spark, sf_dir), _cfg(), key_cols=("doc_id",), content_col="text"
+        ).persist()
+    return _SIG_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:

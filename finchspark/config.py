@@ -57,6 +57,20 @@ def check_compatibility(a: SketchParams, b: SketchParams) -> None:
         raise ValueError(f"scale mismatch: {a.scale} vs {b.scale}")
 
 
+def resolve_err_filter(err_filter_pct: float, kmer_length: int) -> float:
+    """F7 — CLI err-filter percent → kernel filter level
+    (`cli/src/cli.rs:264-265`): the flag is an assumed error rate as a
+    PERCENTAGE, validated to [0, 100/k] (`get_float_arg`, `cli.rs:226-239`),
+    then scaled by k/100 so the kernel value lands in [0, 1]. Default flag
+    value is 1 (`cli.rs:147`), i.e. 0.21 at k=21."""
+    limit = 100.0 / float(kmer_length)
+    if not (0.0 <= err_filter_pct <= limit):
+        raise ValueError(
+            f"err-filter must be between 0 and {limit}"
+        )
+    return err_filter_pct * float(kmer_length) / 100.0
+
+
 def with_oversketch(
     cfg: SketchParams, n_hashes: int, filters: FilterParams, oversketch: int = 200
 ) -> SketchParams:

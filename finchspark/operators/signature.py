@@ -8,10 +8,13 @@ vectorized murmur3 call, and per-document sketches come from one segmented
 lexsort (`finchspark.kernels.segment`). No per-row Python anywhere.
 
 Scale notes (100 TB): the stage is embarrassingly parallel — cost scales with
-input bytes, no shuffle except the optional repartitionByRange on n_bytes
-(recommended so one Arrow batch ≈ constant shingle work regardless of file
-size skew). Arrow batch size is bounded by
-`spark.sql.execution.arrow.maxRecordsPerBatch` (set smaller for huge files).
+input bytes and there is NO shuffle by default. `length_bucket=True` adds a
+repartitionByRange on content length; that is a full-corpus shuffle bought
+only to equalize per-batch shingle work, and the byte-bounded sub-batching
+below already bounds straggler batches — so it is OFF by default and should
+stay off at scale. Arrow batch size is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch` plus the byte-bounded
+sub-batching (MAX_CHUNK_BYTES).
 """
 from __future__ import annotations
 
@@ -53,6 +56,7 @@ def signature_schema(key_fields: list[T.StructField]) -> T.StructType:
             T.StructField("counts", T.ArrayType(T.IntegerType())),
             T.StructField("simhash", T.LongType()),
             T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("strict_violation", T.BooleanType()),
         ]
     )
 
@@ -79,14 +83,17 @@ def build_signatures(
     config: PipelineConfig,
     key_cols: tuple[str, ...] = ("doc_id",),
     content_col: str = "content",
-    length_bucket: bool = True,
+    length_bucket: bool = False,
     filters=None,
 ) -> DataFrame:
     """Compute the `signatures` DataFrame for `df`.
 
     Output columns: key_cols…, sha256, n_bytes, n_kmers, n_unique,
     hashes (array<long>, sign-shifted u64, ascending unsigned), counts,
-    simhash (long, raw bit pattern), bands (array<long>, index = band_id).
+    simhash (long, raw bit pattern), bands (array<long>, index = band_id),
+    strict_violation (bool — A4: True when `no_strict=False` and a mash
+    sketch came up shorter than final_size, `sketch_schemes/mod.rs:115-128`;
+    the row is still emitted, the flag is the metrics surface).
 
     `filters`: optional `kernels.FilterParams` — the abundance-weighted
     over-sketch + filter variant (reference CLI flow, `cli/src/cli.rs:287-295`
@@ -207,6 +214,14 @@ def build_signatures(
                 sk_off = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(fpd, out=sk_off[1:])
 
+            # A4 strict-size surfacing (`sketch_schemes/mod.rs:115-128`): a
+            # mash sketch shorter than final_size under strict mode is flagged
+            # (not dropped) so the pipeline can count/route violations
+            if sketch_type == "mash" and not params.no_strict:
+                strict_viol = np.diff(sk_off) < final_size
+            else:
+                strict_viol = np.zeros(n, dtype=bool)
+
             sims = simhash64_batch(hashes, doc_off, None)
             oph = oph_signatures(hashes, doc_off, m)
             bands = band_hashes(oph, n_bands, n_rows, seed)
@@ -237,13 +252,19 @@ def build_signatures(
                 ),
                 pa.ListArray.from_arrays(
                     pa.array(sk_off.astype(np.int32), pa.int32()),
-                    pa.array(sk_c.astype(np.int32), pa.int32()),
+                    # kernel counts saturate at u32::MAX for reference parity;
+                    # clip to i32::MAX for the int32 storage column instead of
+                    # letting the cast wrap negative
+                    pa.array(
+                        np.minimum(sk_c, 0x7FFFFFFF).astype(np.int32), pa.int32()
+                    ),
                 ),
                 pa.array(sims.view(np.int64), pa.int64()),
                 pa.ListArray.from_arrays(
                     pa.array(band_off.astype(np.int32), pa.int32()),
                     pa.array(band_vals, pa.int64()),
                 ),
+                pa.array(strict_viol, pa.bool_()),
             ]
             names = list(key_cols) + [
                 "sha256",
@@ -254,6 +275,7 @@ def build_signatures(
                 "counts",
                 "simhash",
                 "bands",
+                "strict_violation",
             ]
             return pa.RecordBatch.from_arrays(arrays, names)
 

@@ -41,6 +41,12 @@ def _list_to_segments(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     values = col.values.to_numpy(zero_copy_only=False)
+    # a sliced ListArray carries non-zero-based offsets over the parent's
+    # values buffer; normalize so offsets[0] == 0 and values are exactly
+    # covered (raw_distance_many builds pair ids with np.repeat over diffs)
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(values)):
+        values = values[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
     return values, offsets
 
 

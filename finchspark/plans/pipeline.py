@@ -102,13 +102,15 @@ def near_duplicates(
         # per reference (verified via .explain) — materialize it once
         signatures = signatures.persist()
 
+    # one candidate_pairs invocation serves both the verify stage and the
+    # overflow metrics frame (both lazy; a single band-explode subtree)
+    cands, bucket_overflow = candidate_pairs(signatures, config.lsh, key_col)
+
     def compute_pairs():
-        cands, _overflow = candidate_pairs(signatures, config.lsh, key_col)
         verified = verify_pairs(cands, signatures, config, key_col)
         return verified.filter(F.col("jaccard") >= config.jaccard_threshold)
 
     pairs = _stage("pairs", compute_pairs)
-    _, bucket_overflow = candidate_pairs(signatures, config.lsh, key_col)
 
     edge_frames = [pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))]
     if include_exact_path:

@@ -38,7 +38,8 @@ def to_multisketch_json(sketches: list[Sketch]) -> str:
     out["sketches"] = [
         {
             "name": sk.name,
-            "length": sk.seq_length,
+            "seqLength": sk.seq_length,
+            "numValidKmers": sk.num_valid_kmers,
             "comment": "",
             "filters": {},
             "hashes": [str(int(h)) for h in sk.hashes.hashes],
@@ -74,7 +75,10 @@ def from_multisketch_json(payload: str) -> list[Sketch]:
                 js["name"],
                 KmerCounts(hashes, counts, extras, kmers),
                 params,
-                seq_length=js.get("length", 0),
+                # reference key is "seqLength" (`json.rs:80,100`); accept the
+                # legacy "length" key this module emitted before round 2
+                seq_length=js.get("seqLength", js.get("length")) or 0,
+                num_valid_kmers=js.get("numValidKmers") or 0,
             )
         )
     return out

@@ -112,3 +112,28 @@ def test_byte_bounded_subbatching(spark, documents_df, corpus):
         assert chunked[k]["hashes"] == whole[k]["hashes"], k
         assert chunked[k]["sha256"] == whole[k]["sha256"], k
         assert chunked[k]["bands"] == whole[k]["bands"], k
+
+
+def test_strict_violation_surfaced(spark):
+    """A4: strict mode flags (not drops) mash sketches shorter than
+    final_size (`sketch_schemes/mod.rs:115-128`)."""
+    from finchspark.config import PipelineConfig
+
+    docs = [
+        (0, "x" * 30),  # 10 kmers -> sketch of 10 < 16: violation
+        (1, "the quick brown fox jumps over the lazy dog " * 8),  # plenty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    cfg = PipelineConfig(
+        sketch=SketchParams(kmers_to_sketch=16, final_size=16, no_strict=False)
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in build_signatures(df, cfg, key_cols=("doc_id",)).collect()
+    }
+    assert rows[0]["strict_violation"] is True
+    assert rows[1]["strict_violation"] is False
+    # default (no_strict=True) never flags
+    cfg2 = PipelineConfig(sketch=SketchParams(kmers_to_sketch=16, final_size=16))
+    rows2 = build_signatures(df, cfg2, key_cols=("doc_id",)).collect()
+    assert all(r["strict_violation"] is False for r in rows2)

@@ -73,3 +73,29 @@ def test_filtered_signature_stage(spark):
         # every retained shingle passed the abundance filter
         assert all(c >= 2 for c in got["counts"])
         assert len(got["hashes"]) <= 64
+
+
+def test_multisketch_json_reference_keys():
+    """Interchange keys must match the reference serializer
+    (`lib/src/serialization/json.rs:80-81`): seqLength + numValidKmers."""
+    import json
+
+    a = sketch_bytes("doc_a", b"reference key shape check body " * 8, n_hashes=16)
+    env = json.loads(to_multisketch_json([a]))
+    js = env["sketches"][0]
+    assert js["seqLength"] == a.seq_length > 0
+    assert js["numValidKmers"] == a.num_valid_kmers > 0
+    assert "length" not in js
+
+    back = from_multisketch_json(to_multisketch_json([a]))[0]
+    assert back.seq_length == a.seq_length
+    assert back.num_valid_kmers == a.num_valid_kmers
+
+    # legacy payloads carrying "length" are still readable
+    js_legacy = dict(js)
+    del js_legacy["seqLength"], js_legacy["numValidKmers"]
+    js_legacy["length"] = 123
+    env2 = dict(env)
+    env2["sketches"] = [js_legacy]
+    back2 = from_multisketch_json(json.dumps(env2))[0]
+    assert back2.seq_length == 123 and back2.num_valid_kmers == 0
