@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 K = 21  # shingle width (finch default k-mer size, `cli/src/cli.rs`)
 SKETCH_SIZE = 128
+FULL_SKETCH = 1024  # >= max distinct 21-grams per driver doc => complete sketch
 NGRAM = 3
 BAND = 3  # doc_id distance band for the exact n-gram oracles
 JACC_T = 0.5  # flagship near-dup threshold on driver data
@@ -61,6 +62,29 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SIG_CACHE:
         _SIG_CACHE[key] = build_signatures(
             _docs(spark, sf_dir), _cfg(), key_cols=("doc_id",), content_col="text"
+        ).persist()
+    return _SIG_CACHE[key]
+
+
+def _signatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE sketches (kmers_to_sketch >= any doc's distinct shingles): the
+    hash array IS the document's full 21-gram set, so set-Jaccard over hashes
+    equals set-Jaccard over the grams themselves — the bridge that lets a SQL
+    oracle reproduce MinHash-path results byte-for-byte."""
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.operators.signature import build_signatures
+
+    key = f"full:{sf_dir}"
+    if key not in _SIG_CACHE:
+        cfg = PipelineConfig(
+            sketch=SketchParams(
+                kmers_to_sketch=FULL_SKETCH, final_size=FULL_SKETCH, kmer_length=K
+            ),
+            jaccard_threshold=JACC_T,
+        )
+        _SIG_CACHE[key] = build_signatures(
+            _docs(spark, sf_dir), cfg, key_cols=("doc_id",), content_col="text"
         ).persist()
     return _SIG_CACHE[key]
 
@@ -201,14 +225,20 @@ def _q_signature_stats(spark, sf):
 
 
 def _q_minhash_signatures(spark, sf):
+    """A1 through the Spark surface, value-exact: the bottom-k sketch of a
+    document has exactly min(SKETCH_SIZE, #distinct k-grams) entries."""
+    return _signatures(spark, sf).select(
+        "doc_id", F.size("hashes").alias("sig_size"), "n_unique"
+    )
+
+
+def _q_signature_diagnostics(spark, sf):
+    """Murmur-dependent diagnostics (no SQL twin): simhash bit pattern +
+    mean retained-shingle depth (G3 mean)."""
     from finchspark.functions import mean_depth
 
     return _signatures(spark, sf).select(
-        "doc_id",
-        F.size("hashes").alias("sig_size"),
-        "n_unique",
-        "simhash",
-        F.round(mean_depth("counts"), 9).alias("mean_depth"),
+        "doc_id", "simhash", F.round(mean_depth("counts"), 9).alias("mean_depth")
     )
 
 
@@ -216,6 +246,56 @@ def _q_depth_histogram(spark, sf):
     from finchspark.functions import depth_histogram
 
     return depth_histogram(_signatures(spark, sf))
+
+
+def _q_depth_histogram_full(spark, sf):
+    """G2 with an exact SQL twin: over COMPLETE sketches the depth histogram
+    is the corpus's k-gram occurrence-count histogram."""
+    from finchspark.functions import depth_histogram
+
+    return depth_histogram(_signatures_full(spark, sf))
+
+
+def _q_neardup_exact(spark, sf):
+    """Exact set-Jaccard near-dup pairs (AllPairs prefix filtering over
+    complete sketches) — recall 1.0 by construction; int/int divisions are
+    IEEE-identical in Spark and DuckDB, so no rounding is needed."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+
+
+def _q_lsh_recall(spark, sf):
+    """LSH banding end-to-end against exact truth: every exact pair (true
+    21-gram Jaccard >= JACC_T) tagged with whether the OPH band join
+    surfaced it as a candidate. The oracle asserts caught = true for every
+    pair — recall 1.0 at this config on this data is a measured, determinist
+    fact (fixed hashes, fixed bands, fixed corpus), so any banding
+    regression flips a flag and fails the value-hash."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+    from finchspark.operators.lsh import candidate_pairs
+
+    exact = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T).select(
+        "key_a", "key_b"
+    )
+    cands, _ = candidate_pairs(_signatures(spark, sf), _cfg().lsh, key_col="doc_id")
+    tagged = cands.withColumn("caught", F.lit(True))
+    return exact.join(tagged, ["key_a", "key_b"], "left").select(
+        "key_a", "key_b", F.coalesce("caught", F.lit(False)).alias("caught")
+    )
+
+
+def _q_cc_exact(spark, sf):
+    """Connected components over the exact near-dup graph — the general CC
+    operator on a non-chain graph, value-checked against a recursive-CTE
+    transitive closure."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+    from finchspark.operators.cc import connected_components
+
+    e = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    return connected_components(
+        e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+    )
 
 
 def _q_kmv_cardinality(spark, sf):
@@ -269,9 +349,15 @@ def _q_merged_signatures(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    """SimHash short-doc path; the driver corpus has no sub-28-char docs, so
+    the query widens the short-doc cutoff (docs under ~220 chars) to put real
+    rows through the Hamming-banded join."""
+    from dataclasses import replace
+
     from finchspark.plans.pipeline import simhash_candidate_pairs
 
-    return simhash_candidate_pairs(_signatures(spark, sf), _cfg())
+    cfg = replace(_cfg(), short_doc_min_kmers=200)
+    return simhash_candidate_pairs(_signatures(spark, sf), cfg)
 
 
 def _q_span_dedup(spark, sf):
@@ -304,8 +390,11 @@ def _q_cosine_topk(spark, sf):
 def _q_ann_lsh(spark, sf):
     from finchspark.operators.ann import cosine_topk_lsh
 
+    # 32 tables: measured recall@k = 1.0 vs exact top-k on the driver data,
+    # so the exact ranking SQL is a valid value-oracle (same determinism
+    # argument as lsh_recall; a recall regression breaks the hash)
     out = cosine_topk_lsh(
-        _embeddings(spark, sf), k=ANN_K, query_mod=ANN_MOD, n_bits=4, n_tables=16
+        _embeddings(spark, sf), k=ANN_K, query_mod=ANN_MOD, n_bits=4, n_tables=32
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
@@ -330,7 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_chain": _q_cc_chain,
         "signature_stats": _q_signature_stats,
         "minhash_signatures": _q_minhash_signatures,
+        "signature_diagnostics": _q_signature_diagnostics,
         "depth_histogram": _q_depth_histogram,
+        "depth_histogram_full": _q_depth_histogram_full,
+        "neardup_exact": _q_neardup_exact,
+        "lsh_recall": _q_lsh_recall,
+        "cc_exact": _q_cc_exact,
         "kmv_cardinality": _q_kmv_cardinality,
         "lsh_candidates": _q_lsh_candidates,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -379,6 +473,35 @@ select key_a, key_b,
         else least(1.0, greatest(0.0, -ln(2*jaccard/(1+jaccard))/{K})) end, 9)
   as mash_distance
 from pairs
+"""
+
+
+# full-width (K=21) character shingles — identical to the signature kernel's
+# byte shingles on this corpus (driver docs are ASCII; the kernel is
+# byte-level, `finchspark/kernels/shingles.py`)
+_KGRAMS_ALL = (
+    f"list_transform(generate_series(1, greatest(length(text) - {K - 1}, 0)),"
+    f" i -> substring(text, i, {K}))"
+)
+_KGRAMS = f"list_distinct({_KGRAMS_ALL})"
+
+# exact set-Jaccard pairs over full 21-gram sets >= JACC_T — the SQL twin of
+# operators/allpairs.exact_jaccard_pairs (inverted-index form, same plan
+# shape DuckDB-side); int/int division needs no rounding (IEEE-identical)
+_EXACT_PAIRS = f"""
+with g as (select doc_id, {_KGRAMS} as grams from documents),
+t as (select doc_id, len(grams) as n, unnest(grams) as gram from g where len(grams) > 0),
+co as (
+  select a.doc_id as key_a, b.doc_id as key_b, a.n as na, b.n as nb, count(*) as inter
+  from t a join t b on a.gram = b.gram and b.doc_id > a.doc_id
+  group by 1, 2, 3, 4
+),
+exact_pairs as (
+  select key_a, key_b,
+         inter / cast(na + nb - inter as double) as jaccard,
+         inter / cast(na as double) as containment_a
+  from co where inter / cast(na + nb - inter as double) >= {JACC_T}
+)
 """
 
 
@@ -524,6 +647,57 @@ select doc_id,
   sha256(text) as sha256
 from documents
 """,
+        "minhash_signatures": f"""
+select doc_id, least({SKETCH_SIZE}, len({_KGRAMS})) as sig_size,
+       len({_KGRAMS}) as n_unique
+from documents
+""",
+        "depth_histogram_full": f"""
+with gr as (
+  select doc_id, unnest({_KGRAMS_ALL}) as gram
+  from documents
+),
+d as (select doc_id, gram, count(*) as depth from gr group by 1, 2)
+select depth, count(*) as n_kmers from d group by depth
+""",
+        "neardup_exact": _EXACT_PAIRS
+        + "select key_a, key_b, jaccard, containment_a from exact_pairs",
+        "lsh_recall": _EXACT_PAIRS
+        + """
+-- recall of the OPH band join is 1.0 at this config on this corpus (a
+-- deterministic, measured property: fixed murmur3 hashes, fixed bands);
+-- the Spark side reports the actual caught flag per exact pair
+select key_a, key_b, true as caught from exact_pairs
+""",
+        "cc_exact": _EXACT_PAIRS
+        + """
+, und as (
+  select key_a as a, key_b as b from exact_pairs
+  union
+  select key_b, key_a from exact_pairs
+),
+rec as (
+  with recursive reach(a, b) as (
+    select a, b from und
+    union
+    select r.a, u.b from reach r join und u on r.b = u.a
+  ) select * from reach
+)
+select a as node, least(a, min(b)) as component from rec group by a
+""",
+        "merged_signatures": f"""
+with g as (select doc_id, source, {_KGRAMS} as grams from documents),
+u as (select source, count(*) as n_members from g group by source),
+d as (
+  select source, count(distinct gram) as nd
+  from (select source, unnest(grams) as gram from g) group by source
+)
+-- bottom-k sketches are mergeable: bottom-k of a union of bottom-k sets ==
+-- bottom-k of the union, so the merged sig size is min(k, |union of gram
+-- sets|); sources whose docs have no grams at all never reach the merge
+select u.source, u.n_members, least({SKETCH_SIZE}, d.nd) as sig_size
+from u join d using (source)
+""",
         "cosine_topk": f"""
 with q as (select * from embeddings where vec_id % {ANN_MOD} = 0),
 scored as (
@@ -539,5 +713,22 @@ ranked as (
 )
 select query_id, neighbor_id, rank, round(cosine, 6) as cosine
 from ranked where rank <= {ANN_K}
+""",
+        "ann_lsh": f"""
+-- exact ranking as the oracle: sign-LSH recall@k = 1.0 at (4 bits, 32
+-- tables) on the driver embeddings (measured, deterministic) — a recall
+-- regression surfaces as missing/reordered rows
+with q as (select * from embeddings where vec_id % {ANN_MOD} = 0),
+scored as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+         {dot} / ({norm_a} * {norm_b}) as cosine
+  from q a join embeddings b on a.vec_id != b.vec_id
+),
+ranked as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, rank from ranked where rank <= {ANN_K}
 """,
     }

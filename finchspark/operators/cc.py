@@ -3,15 +3,29 @@
 No reference counterpart (finch stops at pairwise distances); clustering is
 the north-star extension. Implements the MapReduce CC algorithm of Kiveris et
 al. ("Connected Components in MapReduce and Beyond", SoCC'14) with plain
-DataFrame ops — converges in O(log n) rounds, each round two shuffles, and
-tolerates high-degree nodes (boilerplate mega-components) because both
-operations only ever attach nodes to their neighborhood minimum rather than
-materializing components on one reducer.
+DataFrame ops — converges in O(log n) rounds and tolerates high-degree nodes
+(boilerplate mega-components) because both operations only ever attach nodes
+to their neighborhood minimum rather than materializing components on one
+reducer.
 
-Scale notes: each iteration is `groupBy(u).agg(min)` + an equi-join on u —
-both shuffle on u; AQE handles skewed hubs. Iteration state is truncated
-with localCheckpoint (or a durable checkpoint dir via the pipeline layer) so
-the lineage doesn't grow unboundedly.
+Scale notes:
+- each round is two star operations (groupBy-min + equi-join on u, both
+  shuffling on u); Spark's partial (map-side) aggregation already bounds the
+  groupBy skew, and AQE skew-join splits the join side of a hub by default;
+- `salt_buckets > 1` adds EXPLICIT hub salting (SURVEY.md §4.3): the
+  neighbor-min is aggregated in two levels — (u, salt=hash(v) % S) then u —
+  and the min-map is replicated S× so the equi-join runs on (u, salt). This
+  bounds any single task to deg(hub)/S rows without relying on AQE, at the
+  cost of an S× blow-up of the (node, min) map — turn it on for graphs with
+  known mega-hubs (it changes no results, property-tested);
+- the convergence check runs every `check_every` rounds, so one driver
+  action (count + order-insensitive edge checksum) covers that many rounds
+  of lazily-chained shuffles — at most check_every-1 extra rounds of work
+  after the fixpoint, against half/third the job-launch latency;
+- iteration state is truncated with localCheckpoint by default; pass
+  `checkpoint_dir` to round-trip state through parquet instead — durable
+  against executor loss on a real cluster (localCheckpoint lineage dies with
+  an executor), and the restart point for a resumed job.
 """
 from __future__ import annotations
 
@@ -19,33 +33,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _min_map(und: DataFrame, salt_buckets: int) -> DataFrame:
+    """(u, mn = min neighbor of u), optionally via two-level salted agg."""
+    if salt_buckets > 1:
+        part = und.withColumn(
+            "__salt", F.pmod(F.xxhash64("v"), F.lit(salt_buckets))
+        ).groupBy("u", "__salt").agg(F.min("v").alias("mn"))
+        return part.groupBy("u").agg(F.min("mn").alias("mn"))
+    return und.groupBy("u").agg(F.min("v").alias("mn"))
+
+
+def _salted_join(und: DataFrame, m: DataFrame, salt_buckets: int) -> DataFrame:
+    """und ⋈ m on u; with salting, m is replicated across salt buckets so a
+    hub's join rows spread over `salt_buckets` tasks."""
+    if salt_buckets > 1:
+        spark = und.sparkSession
+        salts = spark.range(salt_buckets).select(
+            F.col("id").cast("long").alias("__salt")
+        )
+        m_rep = m.crossJoin(F.broadcast(salts))
+        und_s = und.withColumn(
+            "__salt", F.pmod(F.xxhash64("v"), F.lit(salt_buckets))
+        )
+        return und_s.join(m_rep, ["u", "__salt"]).drop("__salt")
+    return und.join(m, "u")
+
+
+def _large_star(edges: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
     und = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-    m = (
-        und.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", F.col("u")).alias("m"))
+    m = _min_map(und, salt_buckets).select(
+        "u", F.least("mn", F.col("u")).alias("m")
     )
     return (
-        und.join(m, "u")
+        _salted_join(und, m, salt_buckets)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """Orient edges large→small; connect all smaller neighbors (and self) of
     u to the minimum."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     )
-    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    m = _min_map(oriented, salt_buckets).withColumnRenamed("mn", "m")
     out = (
-        oriented.join(m, "u")
+        _salted_join(oriented, m, salt_buckets)
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .union(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
         .distinct()
@@ -58,6 +96,9 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    check_every: int = 2,
+    salt_buckets: int = 0,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
@@ -70,18 +111,31 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=False)
+
+    def _truncate(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/cc_iter_{it:04d}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        # lazy: materialized by the convergence action in the same job
+        return df.localCheckpoint(eager=False)
+
+    e = _truncate(e, -1) if checkpoint_dir is not None else e.localCheckpoint(
+        eager=False
+    )
     prev_sig = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # _small_star output is already distinct; the self-loop filter is
         # narrow — no extra shuffle per iteration
-        e = _small_star(_large_star(e))
+        e = _small_star(_large_star(e, salt_buckets), salt_buckets)
         e = e.filter(F.col("src") != F.col("dst"))
-        # lazy checkpoint + ONE action per iteration: the convergence
-        # signature below materializes the checkpoint inside the same job
-        e = e.localCheckpoint(eager=False)
+        e = _truncate(e, it)
+        if (it + 1) % check_every and it + 1 < max_iter:
+            continue
         # convergence: edge set stable (order-insensitive checksum);
-        # bit_xor is overflow-free under ANSI mode and edges are distinct
+        # bit_xor is overflow-free under ANSI mode and edges are distinct.
+        # ONE driver action per `check_every` rounds; a fixpoint is stable,
+        # so sampling every k-th round still detects it (≤ k-1 extra rounds)
         sig = e.select(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),

@@ -99,9 +99,8 @@ def build_signatures(
     over-sketch + filter variant (reference CLI flow, `cli/src/cli.rs:287-295`
     + `lib/src/filtering.rs:56-87`). Pair it with an oversketched
     `kmers_to_sketch` (see `config.with_oversketch`); the filter pipeline
-    runs per document between sketching and the final_size truncation.
-    Per-document loop (not vectorized): this is the non-default diagnostic
-    path; code-payload shingle counts are almost always 1.
+    runs between sketching and the final_size truncation, fully segmented
+    across the batch (`kernels.segfilter` — no per-document Python).
     """
     params = config.sketch
     lsh = config.lsh
@@ -186,33 +185,19 @@ def build_signatures(
             np.cumsum(per_doc, out=sk_off[1:])
 
             if filters is not None and filters.filter_on:
-                from dataclasses import replace as _dc_replace
+                from ..kernels.segfilter import segment_filter_counts
 
-                from ..kernels import KmerCounts, filter_counts
-
-                fh, fc, fpd = [], [], np.zeros(n, dtype=np.int64)
-                for i in range(n):
-                    sl = slice(sk_off[i], sk_off[i + 1])
-                    kc = KmerCounts(
-                        sk_h[sl], sk_c[sl], np.zeros(sk_off[i + 1] - sk_off[i], np.int64)
-                    )
-                    # fresh copy per doc: filter_counts mutates the guessed
-                    # low cutoff (reference copies too, `filtering.rs:20-24`)
-                    fp = _dc_replace(filters)
-                    out_kc = filter_counts(fp, kc)
-                    if sketch_type == "mash" and len(out_kc) > final_size:
-                        out_kc = KmerCounts(
-                            out_kc.hashes[:final_size],
-                            out_kc.counts[:final_size],
-                            out_kc.extra_counts[:final_size],
-                        )
-                    fh.append(out_kc.hashes)
-                    fc.append(out_kc.counts)
-                    fpd[i] = len(out_kc)
-                sk_h = np.concatenate(fh) if fh else np.empty(0, np.uint64)
-                sk_c = np.concatenate(fc) if fc else np.empty(0, np.int64)
-                sk_off = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(fpd, out=sk_off[1:])
+                # whole-batch segmented F1–F4 + truncation: equals the
+                # reference's per-file filter_counts with a fresh params copy
+                # per doc (`filtering.rs:20-24`), zero per-document Python
+                sk_h, sk_c, _, sk_off = segment_filter_counts(
+                    sk_h,
+                    sk_c,
+                    np.zeros(len(sk_h), np.int64),
+                    sk_off,
+                    filters,
+                    final_size if sketch_type == "mash" else None,
+                )
 
             # A4 strict-size surfacing (`sketch_schemes/mod.rs:115-128`): a
             # mash sketch shorter than final_size under strict mode is flagged

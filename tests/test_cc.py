@@ -34,3 +34,39 @@ def test_cc_chain_and_star(spark):
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 64
+
+
+@pytest.mark.parametrize("salt_buckets,check_every", [(4, 1), (8, 2), (0, 3)])
+def test_cc_salting_and_check_interval_equivalence(spark, salt_buckets, check_every):
+    """Hub salting and a sparser convergence check change the plan, never the
+    result — exercised on a star graph (worst-case hub) + a chain tail."""
+    star = [(0, i) for i in range(1, 40)]
+    chain = [(100 + i, 101 + i) for i in range(10)]
+    edges = star + chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, salt_buckets=salt_buckets, check_every=check_every
+        ).collect()
+    }
+    expect = union_find_components(200, edges)
+    nodes = {x for e in edges for x in e}
+    for u in nodes:
+        assert got[u] == expect[u]
+
+
+def test_cc_durable_checkpoint(spark, tmp_path):
+    edges = [(i, i + 1) for i in range(20)] + [(50, 51), (51, 52)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc_state")
+        ).collect()
+    }
+    expect = union_find_components(60, edges)
+    for u in {x for e in edges for x in e}:
+        assert got[u] == expect[u]
+    # durable state actually landed on disk
+    assert any((tmp_path / "cc_state").glob("cc_iter_*"))
