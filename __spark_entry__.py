@@ -298,6 +298,27 @@ def _q_cc_exact(spark, sf):
     )
 
 
+def _q_char_class_profile(spark, sf):
+    """G3 info stats (`finch info` %GC analogue, `cli/src/main.rs:146-187`):
+    count-weighted char-class fractions over retained k-mers. With the
+    complete-sketch config every k-mer is retained, so the count-weighted
+    distinct-gram aggregate equals a plain per-occurrence aggregate — which
+    is exactly what the SQL twin computes (int-sum / int-sum divisions,
+    IEEE-identical, no rounding)."""
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.operators.infostats import char_class_profile
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(
+            kmers_to_sketch=FULL_SKETCH, final_size=FULL_SKETCH, kmer_length=K
+        )
+    )
+    return char_class_profile(
+        _docs(spark, sf), cfg, key_cols=("doc_id",), content_col="text"
+    )
+
+
 def _q_kmv_cardinality(spark, sf):
     from finchspark.functions import kmv_cardinality
 
@@ -425,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_exact": _q_neardup_exact,
         "lsh_recall": _q_lsh_recall,
         "cc_exact": _q_cc_exact,
+        "char_class_profile": _q_char_class_profile,
         "kmv_cardinality": _q_kmv_cardinality,
         "lsh_candidates": _q_lsh_candidates,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -662,6 +684,24 @@ select depth, count(*) as n_kmers from d group by depth
 """,
         "neardup_exact": _EXACT_PAIRS
         + "select key_a, key_b, jaccard, containment_a from exact_pairs",
+        "char_class_profile": f"""
+with gr as (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents),
+s as (
+  select doc_id, count(*) as n_occ, count(distinct gram) as n_ret,
+    sum(length(regexp_replace(gram, '[^a-zA-Z]', '', 'g'))) as a,
+    sum(length(regexp_replace(gram, '[^0-9]', '', 'g'))) as d,
+    sum(length(gram) - length(regexp_replace(gram, '\\s', '', 'g'))) as w
+  from gr group by doc_id
+)
+select doc.doc_id,
+  coalesce(s.n_ret, 0) as n_retained,
+  coalesce(s.a / cast({K} * s.n_occ as double), 0.0) as frac_alpha,
+  coalesce(s.d / cast({K} * s.n_occ as double), 0.0) as frac_digit,
+  coalesce(s.w / cast({K} * s.n_occ as double), 0.0) as frac_space,
+  coalesce(({K} * s.n_occ - s.a - s.d - s.w) / cast({K} * s.n_occ as double), 0.0)
+    as frac_other
+from documents doc left join s using (doc_id)
+""",
         "lsh_recall": _EXACT_PAIRS
         + """
 -- recall of the OPH band join is 1.0 at this config on this corpus (a

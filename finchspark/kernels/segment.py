@@ -19,17 +19,21 @@ _U32_MAX = np.int64(0xFFFFFFFF)
 
 
 def segment_count_distinct(
-    doc_idx: np.ndarray, hashes: np.ndarray, n_docs: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    doc_idx: np.ndarray, hashes: np.ndarray, n_docs: int, return_first_idx: bool = False
+) -> tuple[np.ndarray, ...]:
     """Per-document distinct (hash, count), hashes ascending within each doc.
 
     Returns (doc_of_group, group_hashes, group_counts, rank_in_doc) where
     groups are ordered by (doc, hash) and `rank_in_doc` is each group's
-    0-based position among its document's sorted distinct hashes.
+    0-based position among its document's sorted distinct hashes. With
+    `return_first_idx`, appends each group's FIRST original occurrence index
+    into the input stream (stable sorts keep original order within a group)
+    — used to recover the shingle bytes of a retained hash (G3 info stats).
     """
     if len(hashes) == 0:
         z = np.empty(0, np.int64)
-        return z, np.empty(0, np.uint64), z, z
+        out = (z, np.empty(0, np.uint64), z, z)
+        return out + (z,) if return_first_idx else out
     # two stable radix argsorts == lexsort((hashes, doc_idx)), measurably
     # faster than numpy's generic lexsort on 64-bit keys
     perm1 = np.argsort(hashes, kind="stable")
@@ -53,6 +57,8 @@ def segment_count_distinct(
     rank = np.arange(len(gd), dtype=np.int64) - np.repeat(
         doc_first_group, np.diff(np.append(doc_first_group, len(gd)))
     )
+    if return_first_idx:
+        return gd, gh, counts, rank, order[group_starts]
     return gd, gh, counts, rank
 
 

@@ -4,8 +4,17 @@ North-star extension (no reference counterpart): near-exact SPAN dedup inside
 candidate clusters — e.g. a license header or vendored function shared between
 otherwise-different files. Exact semantics: all maximal common substrings of
 length >= min_len between two byte strings, found via a suffix array
-(prefix-doubling, O(n log^2 n), pure numpy) + Kasai LCP array, scanning
-adjacent suffix pairs that originate from different documents.
+(prefix-doubling, O(n log^2 n), pure numpy) + LCP array, scanning adjacent
+suffix pairs that originate from different documents.
+
+The LCP array is computed by vectorized binary descent over the
+prefix-doubling rank tables (no per-byte scan): for adjacent suffixes x, y
+and level length ℓ from largest to 1, extend h by ℓ whenever
+rank_ℓ[x+h] == rank_ℓ[y+h]. Equality of level-ℓ ranks implies the two
+length-ℓ blocks match (out-of-range padding ranks are unique per position,
+so a truncated block never aliases a full one), and the level lengths are
+consecutive powers of two, so h converges to the exact LCP — O(n log n)
+total with O(1) numpy calls per level, replacing the Kasai per-byte loop.
 
 The Spark operator (`finchspark.operators.spandedup`) runs this kernel per
 candidate pair/cluster inside applyInPandas; the kernel itself is
@@ -16,18 +25,28 @@ from __future__ import annotations
 import numpy as np
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of a uint8/int array by prefix doubling (numpy lexsort)."""
+def _suffix_array_levels(
+    s: np.ndarray,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """(suffix array, [(prefix_len, dense rank array), ...]) by prefix
+    doubling; levels are consecutive powers of two up to the first length at
+    which all ranks are distinct."""
     n = len(s)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), []
     # copy=True: the rank/tmp buffer swap below would otherwise WRITE into
     # the caller's array when it is already int64
     rank = np.array(s, dtype=np.int64, copy=True)
+    # dense single-char ranks so levels are comparable across positions
+    _, rank = np.unique(rank, return_inverse=True)
+    rank = rank.astype(np.int64)
     sa = np.argsort(rank, kind="stable")
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     tmp = np.empty(n, dtype=np.int64)
     k = 1
     while k < n:
+        if rank[sa[-1]] == n - 1:
+            break
         # rank of suffix i = (rank[i], rank[i+k] or -1)
         second = np.full(n, -1, dtype=np.int64)
         second[: n - k] = rank[k:]
@@ -38,57 +57,70 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
             second[order[1:]] == second[order[:-1]]
         )
         tmp[order[1:]] = np.cumsum(~prev_same)
-        rank, tmp = tmp.copy(), rank
+        # copy: `tmp` stays a scratch buffer; the stored level arrays must
+        # never alias it (they'd be mutated by the next doubling round)
+        rank = tmp.copy()
         sa = order
-        if rank[sa[-1]] == n - 1:
-            break
         k <<= 1
-    return sa.astype(np.int64)
+        levels.append((k, rank))
+    return sa.astype(np.int64), levels
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8/int array by prefix doubling (numpy lexsort)."""
+    sa, _ = _suffix_array_levels(s)
+    return sa
+
+
+def _lcp_from_levels(
+    sa: np.ndarray, levels: list[tuple[int, np.ndarray]], n: int
+) -> np.ndarray:
+    """Vectorized binary-descent LCP over adjacent suffix-array entries."""
+    if n < 2:
+        return np.zeros(max(n - 1, 0), dtype=np.int64)
+    x = sa[:-1]
+    y = sa[1:]
+    h = np.zeros(n - 1, dtype=np.int64)
+    for ell, rk in reversed(levels):
+        xi = x + h
+        yi = y + h
+        inb = (xi < n) & (yi < n)
+        eq = np.zeros(n - 1, dtype=bool)
+        eq[inb] = rk[xi[inb]] == rk[yi[inb]]
+        h = h + np.where(eq, ell, 0)
+    return h
 
 
 def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = LCP(suffix sa[i], suffix sa[i+1])."""
+    """lcp[i] = LCP(suffix sa[i], suffix sa[i+1]), vectorized (see module
+    docstring). `sa` must be the suffix array of `s`."""
     n = len(s)
     if n < 2:
         return np.zeros(max(n - 1, 0), dtype=np.int64)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n - 1, dtype=np.int64)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r == n - 1:
-            h = 0
-            continue
-        j = sa[r + 1]
-        while i + h < n and j + h < n and s[i + h] == s[j + h]:
-            h += 1
-        lcp[r] = h
-        if h:
-            h -= 1
-    return lcp
+    _, levels = _suffix_array_levels(s)
+    return _lcp_from_levels(sa, levels, n)
 
 
-def common_spans(
-    a: bytes, b: bytes, min_len: int = 32, max_spans: int = 64
-) -> list[tuple[int, int, int]]:
-    """Maximal common substrings >= min_len as (pos_a, pos_b, length).
+def suffix_array_and_lcp(s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One-pass (suffix array, adjacent LCP array) — the hot-path entry used
+    by `common_spans` (avoids recomputing the rank levels)."""
+    sa, levels = _suffix_array_levels(s)
+    return sa, _lcp_from_levels(sa, levels, len(s))
 
-    Builds one suffix array over a + SEP + b (SEP = a 0xFF sentinel byte value
-    256 outside the byte alphabet, so no match can cross the boundary) and
-    reports adjacent cross-document suffix pairs with LCP >= min_len,
-    right-maximal by the LCP construction; trivially-overlapping shorter
-    echoes of a longer span are suppressed greedily.
-    """
+
+def _joint_array(a: bytes, b: bytes) -> np.ndarray:
     la, lb = len(a), len(b)
-    if la < min_len or lb < min_len:
-        return []
     s = np.empty(la + lb + 1, dtype=np.int64)
     s[:la] = np.frombuffer(a, dtype=np.uint8)
     s[la] = 256  # sentinel outside byte alphabet
     s[la + 1 :] = np.frombuffer(b, dtype=np.uint8)
-    sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
+    return s
+
+
+def _spans_from_sa(
+    sa: np.ndarray, lcp: np.ndarray, la: int, min_len: int, max_spans: int
+) -> list[tuple[int, int, int]]:
+    """Greedy maximal cross-document spans from a joint suffix array."""
     from_a = sa < la
     cross = from_a[:-1] != from_a[1:]
     good = np.nonzero(cross & (lcp >= min_len))[0]
@@ -106,8 +138,49 @@ def common_spans(
         kept_a.append((pa, pa + ln))
         if len(spans) >= max_spans:
             break
+    return spans
+
+
+def common_spans(
+    a: bytes, b: bytes, min_len: int = 32, max_spans: int = 64
+) -> list[tuple[int, int, int]]:
+    """Maximal common substrings >= min_len as (pos_a, pos_b, length).
+
+    Builds one suffix array over a + SEP + b (SEP = a sentinel value 256
+    outside the byte alphabet, so no match can cross the boundary) and
+    reports adjacent cross-document suffix pairs with LCP >= min_len,
+    right-maximal by the LCP construction; trivially-overlapping shorter
+    echoes of a longer span are suppressed greedily.
+    """
+    la, lb = len(a), len(b)
+    if la < min_len or lb < min_len:
+        return []
+    sa, lcp = suffix_array_and_lcp(_joint_array(a, b))
+    spans = _spans_from_sa(sa, lcp, la, min_len, max_spans)
     spans.sort()
     return spans
+
+
+def spans_and_coverage(
+    a: bytes, b: bytes, min_len: int = 32, max_spans: int = 64, cov_spans: int = 256
+) -> tuple[list[tuple[int, int, int]], float]:
+    """(spans, coverage_a) from ONE suffix-array pass.
+
+    Equals (common_spans(a, b, min_len, max_spans),
+    span_coverage(a, b, min_len)): the greedy span selection is
+    prefix-stable in max_spans, so the first `max_spans` of the
+    `cov_spans`-bounded selection ARE the `max_spans` selection.
+    """
+    la, lb = len(a), len(b)
+    if la < min_len or lb < min_len or la == 0:
+        return [], 0.0
+    sa, lcp = suffix_array_and_lcp(_joint_array(a, b))
+    all_spans = _spans_from_sa(sa, lcp, la, min_len, cov_spans)
+    covered = np.zeros(la, dtype=bool)
+    for pa, _, ln in all_spans:
+        covered[pa : pa + ln] = True
+    spans = sorted(all_spans[:max_spans])
+    return spans, float(covered.mean())
 
 
 def span_coverage(a: bytes, b: bytes, min_len: int = 32) -> float:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels.suffix import common_spans, span_coverage
+from ..kernels.suffix import spans_and_coverage
 
 _OUT_FIELDS = [
     T.StructField("n_spans", T.IntegerType()),
@@ -76,14 +76,17 @@ def span_dedup_pairs(
             ):
                 a = (ca or "").encode()
                 b = (cb or "").encode()
-                spans = common_spans(a, b, min_len=min_len)
+                # ONE suffix-array pass per pair yields both the span list
+                # and the coverage ratio (kernel LCP is vectorized — no
+                # per-byte Python anywhere in this stage)
+                spans, coverage = spans_and_coverage(a, b, min_len=min_len)
                 rows.append(
                     {
                         "key_a": ka,
                         "key_b": kb,
                         "n_spans": len(spans),
                         "longest_span": max((s[2] for s in spans), default=0),
-                        "coverage_a": span_coverage(a, b, min_len=min_len),
+                        "coverage_a": coverage,
                         "spans": [
                             {"pos_a": pa, "pos_b": pb, "length": ln}
                             for pa, pb, ln in spans

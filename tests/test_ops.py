@@ -127,3 +127,52 @@ def test_compare_matrix_minmer():
     a = sketch_bytes("a", b"common shared prefix body " * 20, n_hashes=16)
     mat = a.compare_matrix(a)
     assert np.array_equal(mat[0], a.hashes.counts.astype("int32"))
+
+
+def test_char_class_profile_vs_scalar(spark, documents_df, corpus):
+    """G3 info stats: batch operator == per-doc scalar recomputation with
+    count weights over retained kmers (incl. TRUNCATED sketches)."""
+    import numpy as np
+
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams, shingle_hashes
+    from finchspark.kernels.sketch import count_distinct
+    from finchspark.operators.infostats import _LUT, char_class_profile
+
+    cfg = PipelineConfig(sketch=SketchParams(kmers_to_sketch=8, final_size=8))
+    rows = {
+        r["doc_id"]: r
+        for r in char_class_profile(
+            documents_df, cfg, key_cols=("doc_id",)
+        ).collect()
+    }
+    docs, _ = corpus
+    for d in docs:
+        content = d["content"].encode()
+        h = shingle_hashes(content, 21, 0)
+        got = rows[d["doc_id"]]
+        if len(h) == 0:
+            assert got["n_retained"] == 0
+            assert got["frac_alpha"] == 0.0
+            continue
+        # scalar: retained = bottom-8 distinct, weight = count, bytes of the
+        # kmer at each retained hash's first occurrence
+        kc = count_distinct(h)
+        order = np.arange(len(kc.hashes))[:8]
+        first_pos = {}
+        seen = {}
+        for pos, hv in enumerate(h.tolist()):
+            if hv not in seen:
+                seen[hv] = pos
+        totals = np.zeros(4)
+        for gi in order:
+            hv = int(kc.hashes[gi])
+            cnt = int(kc.counts[gi])
+            p = seen[hv]
+            gram = content[p : p + 21]
+            for b in gram:
+                totals[_LUT[b]] += cnt
+        tot = totals.sum()
+        assert got["n_retained"] == len(order)
+        for ci, name in enumerate(("alpha", "digit", "space", "other")):
+            assert got[f"frac_{name}"] == totals[ci] / tot, (d["doc_id"], name)

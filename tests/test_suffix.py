@@ -77,3 +77,67 @@ def test_span_dedup_operator(spark):
     miss = out[(0, 2)]
     assert miss["n_spans"] == 0
     assert miss["coverage_a"] == 0.0
+
+
+def test_lcp_matches_kasai_scalar_reference():
+    """The vectorized binary-descent LCP equals the textbook Kasai scan."""
+    import numpy as np
+
+    from finchspark.kernels.suffix import lcp_array, suffix_array
+
+    def kasai(s, sa):
+        n = len(s)
+        if n < 2:
+            return np.zeros(max(n - 1, 0), dtype=np.int64)
+        rank = np.empty(n, dtype=np.int64)
+        rank[sa] = np.arange(n)
+        lcp = np.zeros(n - 1, dtype=np.int64)
+        h = 0
+        for i in range(n):
+            r = rank[i]
+            if r == n - 1:
+                h = 0
+                continue
+            j = sa[r + 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        return lcp
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaa",
+        b"abababab",
+        b"banana",
+        b"mississippi",
+        bytes(rng.integers(97, 101, 400).astype(np.uint8)),  # small alphabet
+        bytes(rng.integers(0, 256, 300).astype(np.uint8)),
+        b"x" * 37 + b"y" + b"x" * 37,
+    ]
+    for case in cases:
+        s = np.frombuffer(case, dtype=np.uint8).astype(np.int64)
+        sa = suffix_array(s)
+        assert np.array_equal(lcp_array(s, sa), kasai(s, sa)), case[:20]
+
+
+def test_spans_and_coverage_equals_separate_calls():
+    import numpy as np
+
+    from finchspark.kernels.suffix import (
+        common_spans,
+        span_coverage,
+        spans_and_coverage,
+    )
+
+    rng = np.random.default_rng(5)
+    base = bytes(rng.integers(97, 123, 600).astype(np.uint8))
+    a = base[:400] + b"SHARED-BLOCK-" * 8 + base[400:]
+    b = b"unrelated prefix " * 5 + b"SHARED-BLOCK-" * 8 + base[100:300]
+    spans, cov = spans_and_coverage(a, b, min_len=24)
+    assert spans == common_spans(a, b, min_len=24)
+    assert cov == span_coverage(a, b, min_len=24)
+    assert spans and cov > 0
