@@ -82,12 +82,12 @@ def prefix_candidates(
     index = sized.select(
         "k", F.explode(F.slice("hashes", F.lit(1), prefix_len)).alias("h")
     )
-    left = index.select(F.col("h"), F.col("k").alias("key_a"))
-    right = index.select(F.col("h"), F.col("k").alias("key_b"))
+    # alias self-join: one canonical index subtree, its shuffle reused by
+    # both sides (same pattern as the LSH bucket join)
+    a, b = index.alias("a"), index.alias("b")
     return (
-        left.join(right, "h")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
         .distinct()
     )
 

@@ -12,14 +12,19 @@ Skew handling (north_rule):
   surfaced in the metrics DataFrame instead (exact duplicates among them are
   still caught by the exact sha256 dedup operator, and the cap only kicks in
   for buckets whose members are near-identical to >cap partners anyway);
-- the bucket-size aggregation and the self-join shuffle on the same key
-  (band_id, band_hash), so Catalyst reuses one exchange; AQE skew-join
-  handles residual within-bucket skew.
+- bucket sizes come from a WINDOW count over the same partitioning the
+  self-join needs, so the whole candidate stage shuffles the exploded bands
+  exactly ONCE on (band_id, band_hash): the window's exchange subtree is
+  byte-identical on both self-join sides (verified: `ReusedExchange` with
+  static planning; AQE reuses the shuffle stage at runtime), and the join
+  itself is partition-local. Remaining shuffle: the final pair distinct.
+  AQE skew-join handles residual within-bucket skew.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..config import LshConfig
 
@@ -43,25 +48,30 @@ def candidate_pairs(
     exceeded the cap (skew observability + lineage).
     """
     bands = explode_bands(signatures, key_col)
-    sizes = bands.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size")
+    # ONE shuffle on the bucket key: the window count replaces the separate
+    # size aggregation + join-back (which recomputed the band explode per
+    # join side at scale)
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    overflow = (
+        sized.filter(F.col("bucket_size") > lsh.bucket_cap)
+        .select("band_id", "band_hash", "bucket_size")
+        .distinct()
     )
-    overflow = sizes.filter(F.col("bucket_size") > lsh.bucket_cap)
-    ok = sizes.filter(
+    member = sized.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= lsh.bucket_cap)
-    )
-    # join back on the SAME key the agg shuffled on -> exchange reuse
-    member = bands.join(ok, ["band_id", "band_hash"], "inner")
-    left = member.select(
-        "band_id", "band_hash", F.col(key_col).alias("key_a")
-    )
-    right = member.select(
-        "band_id", "band_hash", F.col(key_col).alias("key_b")
-    )
+    ).select("band_id", "band_hash", F.col(key_col).alias("k"))
+    # self-join via aliases of the SAME frame so both sides canonicalize to
+    # one exchange subtree; the join is partition-local after the window
+    a, b = member.alias("a"), member.alias("b")
     pairs = (
-        left.join(right, ["band_id", "band_hash"], "inner")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
         .distinct()
     )
     return pairs, overflow

@@ -18,8 +18,6 @@ sub-batching (MAX_CHUNK_BYTES).
 """
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute  # noqa: F401  (pa.compute namespace)
@@ -106,7 +104,14 @@ def build_signatures(
     lsh = config.lsh
     k = params.kmer_length
     seed = params.hash_seed
-    sel = df.select(*key_cols, F.col(content_col).alias("__content"))
+    # sha256 (the per-row invariant vs the source table) is computed JVM-side
+    # in whole-stage codegen and passed through the Arrow kernel — identical
+    # bytes hashed (UTF-8 content), no per-row Python
+    sel = df.select(
+        *key_cols,
+        F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias("__sha256"),
+        F.col(content_col).alias("__content"),
+    )
     if length_bucket:
         # one Arrow batch ≈ similar total shingle work; avoids a straggler
         # batch full of 64 KiB files next to batches of empty files
@@ -117,7 +122,7 @@ def build_signatures(
     key_schema = [sel.schema[c] for c in key_cols]
     out_schema = signature_schema(key_schema)
 
-    n_key = len(key_cols)
+    n_key = len(key_cols)  # batch layout: [*keys, __sha256, __content]
     sketch_type = params.sketch_type
     size = params.kmers_to_sketch
     final_size = params.final_size
@@ -132,12 +137,12 @@ def build_signatures(
     max_chunk_bytes = MAX_CHUNK_BYTES
 
     def _byte_chunks(batch):
-        content = batch.column(n_key)
+        content = batch.column(n_key + 1)
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
-        sizes = pa.compute.binary_length(content.cast(pa.large_binary())).to_numpy(
-            zero_copy_only=False
-        )
+        sizes = pa.compute.fill_null(
+            pa.compute.binary_length(content.cast(pa.large_binary())), 0
+        ).to_numpy(zero_copy_only=False)
         start = 0
         acc = 0
         for i, s in enumerate(sizes):
@@ -157,7 +162,7 @@ def build_signatures(
 
     def _one(batch):
             n = batch.num_rows
-            content = batch.column(n_key)
+            content = batch.column(n_key + 1)
             blob, byte_off = _string_blob(content)
             n_bytes = np.diff(byte_off)
             hashes, doc_off = blob_shingle_hashes(blob, byte_off, k, seed)
@@ -219,15 +224,9 @@ def build_signatures(
             np.cumsum(band_counts, out=band_off[1:])
             band_vals = bands_i64[~empty].reshape(-1)
 
-            # sha256 over raw content bytes (per-row invariant vs source table)
-            shas = [
-                hashlib.sha256(blob[byte_off[i] : byte_off[i + 1]].tobytes()).hexdigest()
-                for i in range(n)
-            ]
-
             arrays = [batch.column(i) for i in range(n_key)]
             arrays += [
-                pa.array(shas, pa.string()),
+                batch.column(n_key),  # __sha256 passthrough (JVM-computed)
                 pa.array(n_bytes, pa.int64()),
                 pa.array(n_kmers, pa.int64()),
                 pa.array(n_unique, pa.int64()),

@@ -137,3 +137,20 @@ def test_strict_violation_surfaced(spark):
     cfg2 = PipelineConfig(sketch=SketchParams(kmers_to_sketch=16, final_size=16))
     rows2 = build_signatures(df, cfg2, key_cols=("doc_id",)).collect()
     assert all(r["strict_violation"] is False for r in rows2)
+
+
+def test_null_content_rows(spark):
+    """NULL content == empty content: empty sketch, sha256 of b'' (the
+    byte-chunker and the JVM-side sha must both null-fill)."""
+    import hashlib
+
+    from finchspark.config import PipelineConfig
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "x" * 64)], "doc_id long, content string"
+    )
+    cfg = PipelineConfig(sketch=SketchParams(kmers_to_sketch=8, final_size=8))
+    rows = {r["doc_id"]: r for r in build_signatures(df, cfg, key_cols=("doc_id",)).collect()}
+    assert rows[0]["n_kmers"] == 0 and rows[0]["n_bytes"] == 0
+    assert rows[0]["sha256"] == hashlib.sha256(b"").hexdigest()
+    assert rows[1]["n_kmers"] == 44
