@@ -112,11 +112,25 @@ def hash_one(item: bytes, seed: int = 0) -> int:
 def murmur3_sliding_low64(blob: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     """Hashes of ALL length-k sliding windows of `blob` (len(blob)-k+1 of
     them), identical values to hashing each window with
-    `murmur3_x64_128_low64` — but built from unaligned little-endian u64
-    lanes read straight off the blob with sequential strided adds, so there
-    is no (n, k) window matrix and no per-row gather. This is the shingle
-    hot path: ~5x faster than the matrix form at batch scale.
+    `murmur3_x64_128_low64`.
+
+    Dispatch: the optional C kernel (`kernels.cmurmur`, compiled on first
+    use, bit-parity-tested) touches each window's bytes once with the mix
+    state in registers; without a compiler this falls back to the numpy
+    sliding form below — unaligned little-endian u64 lanes read straight off
+    the blob, all mixing in place (no (n, k) window matrix, no per-row
+    gather).
     """
+    from . import cmurmur
+
+    got = cmurmur.sliding_low64_c(np.ascontiguousarray(blob), k, seed)
+    if got is not None:
+        return got
+    return _murmur3_sliding_low64_numpy(blob, k, seed)
+
+
+def _murmur3_sliding_low64_numpy(blob: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+    """Pure-numpy sliding form (fallback + parity reference for the C path)."""
     n = len(blob) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)

@@ -34,13 +34,31 @@ def segment_count_distinct(
         z = np.empty(0, np.int64)
         out = (z, np.empty(0, np.uint64), z, z)
         return out + (z,) if return_first_idx else out
-    # two stable radix argsorts == lexsort((hashes, doc_idx)), measurably
-    # faster than numpy's generic lexsort on 64-bit keys
-    perm1 = np.argsort(hashes, kind="stable")
-    perm2 = np.argsort(doc_idx[perm1], kind="stable")
-    order = perm1[perm2]
-    d = doc_idx[order]
-    h = hashes[order]
+    order = None
+    d = h = None
+    if not return_first_idx:
+        # C fast path: when docs are already contiguous ascending (the
+        # signature-stage layout), an in-segment radix sort replaces the two
+        # full argsort+gather passes — no permutation arrays materialized.
+        # Skipped when first-occurrence indices are requested (diagnostics).
+        from . import cmurmur
+
+        doc_idx = np.asarray(doc_idx, dtype=np.int64)
+        if cmurmur.available() and bool(np.all(doc_idx[1:] >= doc_idx[:-1])):
+            off = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(np.bincount(doc_idx, minlength=n_docs), out=off[1:])
+            h_sorted = np.ascontiguousarray(hashes, dtype=np.uint64).copy()
+            if cmurmur.segment_sort_u64_c(h_sorted, off):
+                d = doc_idx
+                h = h_sorted
+    if h is None:
+        # two stable radix argsorts == lexsort((hashes, doc_idx)), measurably
+        # faster than numpy's generic lexsort on 64-bit keys
+        perm1 = np.argsort(hashes, kind="stable")
+        perm2 = np.argsort(doc_idx[perm1], kind="stable")
+        order = perm1[perm2]
+        d = doc_idx[order]
+        h = hashes[order]
     new_group = np.empty(len(h), dtype=bool)
     new_group[0] = True
     new_group[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])

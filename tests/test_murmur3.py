@@ -100,3 +100,106 @@ def test_i64_bridge_roundtrip_and_order():
     order_u = np.argsort(u, kind="stable")
     order_i = np.argsort(i, kind="stable")
     assert np.array_equal(order_u, order_i)
+
+
+def test_c_kernel_bit_parity_with_numpy():
+    """The optional C sliding kernel must be bit-identical to the numpy
+    sliding form (which is itself golden-tested against the reference)
+    across alphabet sizes, k values incl. block/tail boundaries, and seeds."""
+    import numpy as np
+
+    from finchspark.kernels import cmurmur
+    from finchspark.kernels.murmur3 import _murmur3_sliding_low64_numpy
+
+    if not cmurmur.available():
+        import pytest
+
+        pytest.skip("no C compiler available")
+    rng = np.random.default_rng(13)
+    for n in (1, 7, 64, 1000, 50_000):
+        blob = rng.integers(0, 256, n).astype(np.uint8)
+        for k in (1, 7, 8, 9, 15, 16, 17, 21, 31, 32, 33, 40):
+            if n < k:
+                continue
+            for seed in (0, 42):
+                got = cmurmur.sliding_low64_c(blob, k, seed)
+                want = _murmur3_sliding_low64_numpy(blob, k, seed)
+                assert np.array_equal(got, want), (n, k, seed)
+
+
+def test_dispatch_matches_scalar_golden():
+    import numpy as np
+
+    from finchspark.kernels.murmur3 import hash_one, murmur3_sliding_low64
+
+    blob = np.frombuffer(b"the quick brown fox jumps over the lazy dog", np.uint8)
+    got = murmur3_sliding_low64(blob, 21, 0)
+    for i in (0, 5, len(got) - 1):
+        assert int(got[i]) == hash_one(bytes(blob[i : i + 21]), 0)
+
+
+def test_c_segment_sort_parity():
+    import numpy as np
+
+    from finchspark.kernels import cmurmur
+
+    if not cmurmur.available():
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(2)
+    lens = [0, 1, 5, 96, 97, 500, 10_000, 3]
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    vals = rng.integers(0, 2**63, off[-1]).astype(np.uint64)
+    # duplicate-heavy tail segment to exercise the skip-pass branch
+    vals[off[-2]:off[-1]] = vals[off[-2]]
+    got = vals.copy()
+    assert cmurmur.segment_sort_u64_c(got, off)
+    for i in range(len(lens)):
+        seg = np.sort(vals[off[i]:off[i+1]])
+        assert np.array_equal(got[off[i]:off[i+1]], seg), i
+
+
+def test_c_simhash_parity():
+    import numpy as np
+
+    from finchspark.kernels import cmurmur
+    from finchspark.kernels.simhash import simhash64
+
+    if not cmurmur.available():
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(4)
+    lens = [0, 1, 17, 1000, 2]
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    hashes = rng.integers(0, 2**64, off[-1], dtype=np.uint64)
+    got = cmurmur.simhash64_segments_c(hashes, off)
+    for i in range(len(lens)):
+        assert int(got[i]) == simhash64(hashes[off[i]:off[i+1]]), i
+
+
+def test_segment_count_distinct_c_vs_numpy():
+    """The contiguous-doc C fast path must equal the argsort path exactly."""
+    import numpy as np
+
+    from finchspark.kernels import cmurmur
+    from finchspark.kernels.segment import segment_count_distinct
+
+    rng = np.random.default_rng(9)
+    n_docs = 40
+    lens = rng.integers(0, 400, n_docs)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    hashes = rng.integers(0, 50, len(doc_idx)).astype(np.uint64)  # many dups
+    want = segment_count_distinct(doc_idx, hashes, n_docs, return_first_idx=True)[:4]
+    got = segment_count_distinct(doc_idx, hashes, n_docs)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+    if cmurmur.available():
+        # shuffled doc order must fall back to the argsort path, same result
+        perm = rng.permutation(len(doc_idx))
+        got2 = segment_count_distinct(doc_idx[perm], hashes[perm], n_docs)
+        for g, w in zip(got2, want):
+            assert np.array_equal(g, w)
