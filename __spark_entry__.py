@@ -147,6 +147,12 @@ def _q_fingerprint(spark, sf):
     return fingerprints(_docs(spark, sf), n=NGRAM)
 
 
+def _q_winnow(spark, sf):
+    from finchspark.operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf), k=5, w=4)
+
+
 def _q_token_hist(spark, sf):
     from finchspark.operators.textops import token_freq_hist
 
@@ -428,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         "token_freq_hist": _q_token_hist,
         "token_abundance": _q_token_abundance,
         "exact_dup_pairs": _q_exact_dup_pairs,
@@ -603,6 +610,20 @@ from t
         "fingerprint": f"""
 select doc_id, list_min(list_transform({_GRAMS}, g -> md5(g))) as fingerprint
 from documents
+""",
+        "winnow_fingerprints": """
+with g as (
+  select doc_id,
+    list_transform(generate_series(1, greatest(length(text)-4, 0)),
+                   i -> md5(substring(text, i, 5))) as hs
+  from documents
+)
+select doc_id,
+  unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(hs)-3, 0)),
+                   j -> list_min(hs[j:j+3]))
+  )) as fingerprint
+from g
 """,
         "token_freq_hist": f"""
 with tok as (

@@ -34,6 +34,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # size input splits so a bench corpus (tens-hundreds of MB) fans out
+        # across all cores — the default 128 MB split gave a 300 MB corpus
+        # only 3 scan tasks, capping any speedup at 3x regardless of
+        # parallelism (at 100 TB the default is fine; the knob matters at
+        # bench scale, cf. spark.sql.files.maxPartitionBytes guidance)
+        .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -73,6 +73,12 @@ def _string_blob(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         if data_buf is not None
         else np.empty(0, dtype=np.uint8)
     )
+    # a SLICED array shares its parent's data buffer; rebase to the slice's
+    # own byte range or downstream whole-blob passes (the sliding murmur)
+    # would hash the ENTIRE parent buffer once per sub-chunk
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(blob)):
+        blob = blob[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
     return blob, offsets
 
 

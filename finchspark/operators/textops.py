@@ -118,6 +118,42 @@ def fingerprints(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+    MOSS scheme): md5 every character k-gram, take the minimum of each
+    window of w consecutive gram hashes, emit the distinct selected hashes.
+    Guarantees every shared substring of length >= k + w - 1 contributes at
+    least one shared fingerprint, with expected density 2/(w+1) — the
+    rolling-hash document-fingerprint operator of the training-data suite.
+
+    Pure Catalyst (whole-stage codegen, no UDF); output is one row per
+    (doc, fingerprint), the inverted-index-ready layout.
+    """
+    n_grams = f"greatest(length({text}) - {k - 1}, 0)"
+    # bind the gram-hash array to a column FIRST so it is computed once per
+    # row — inlining it inside the window lambda would re-hash per window
+    hs = (
+        f"transform(sequence(1, {n_grams}), i -> md5(substring({text}, i, {k})))"
+    )
+    # case-guard because Spark's sequence(1, 0) is DESCENDING, not empty
+    winnow = (
+        f"case when size(__hs) >= {w} then "
+        f"array_distinct(transform(sequence(1, size(__hs) - {w - 1}),"
+        f" j -> array_min(slice(__hs, j, {w})))) "
+        f"else array() end"
+    )
+    return (
+        docs.withColumn("__hs", F.expr(f"case when {n_grams} > 0 then {hs} else array() end"))
+        .select(F.col(key), F.explode(F.expr(winnow)).alias("fingerprint"))
+    )
+
+
 def token_freq_hist(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """G2 analogue: histogram of token depths — depth d → how many (doc,
     token) groups occur exactly d times."""

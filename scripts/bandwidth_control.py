@@ -18,6 +18,10 @@ import time
 
 
 def _work(seed: int) -> int:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import numpy as np
 
     from finchspark.kernels.murmur3 import murmur3_sliding_low64

@@ -176,3 +176,35 @@ def test_char_class_profile_vs_scalar(spark, documents_df, corpus):
         assert got["n_retained"] == len(order)
         for ci, name in enumerate(("alpha", "digit", "space", "other")):
             assert got[f"frac_{name}"] == totals[ci] / tot, (d["doc_id"], name)
+
+
+def test_winnow_fingerprints_guarantee_and_scalar_parity(spark):
+    """Winnowing: matches the scalar MOSS construction; any shared substring
+    of length >= k+w-1 yields at least one shared fingerprint."""
+    import hashlib
+
+    from finchspark.operators.textops import winnow_fingerprints
+
+    shared = "ROLLING-HASH-SHARED-SEGMENT-0123456789"
+    docs = [
+        (0, "prefix junk " + shared + " trailing body of doc zero"),
+        (1, "totally different preamble |" + shared + "| and more"),
+        (2, "no overlap with the others at all, none whatsoever"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def scalar(text, k=5, w=4):
+        if len(text) < k + w - 1:
+            return set()
+        hs = [hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(len(text) - k + 1)]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    for did, text in docs:
+        assert got.get(did, set()) == scalar(text), did
+    assert got[0] & got[1], "shared segment must share a fingerprint"
+    assert not (got[2] & got[0])

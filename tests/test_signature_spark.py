@@ -154,3 +154,20 @@ def test_null_content_rows(spark):
     assert rows[0]["n_kmers"] == 0 and rows[0]["n_bytes"] == 0
     assert rows[0]["sha256"] == hashlib.sha256(b"").hexdigest()
     assert rows[1]["n_kmers"] == 44
+
+
+def test_string_blob_rebases_sliced_arrays():
+    """A sliced Arrow batch must expose ONLY its own bytes (a shared parent
+    buffer once made every sub-chunk re-hash the whole batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from finchspark.operators.signature import _string_blob
+
+    arr = pa.array(["aaaa", "bbbbbb", "cc", "ddddd"])
+    sl = arr.slice(1, 2)  # "bbbbbb", "cc"
+    blob, off = _string_blob(sl)
+    assert off[0] == 0 and off[-1] == len(blob) == 8
+    assert blob.tobytes() == b"bbbbbbcc"
+    full_blob, full_off = _string_blob(arr)
+    assert full_off[0] == 0 and full_off[-1] == len(full_blob) == 17
