@@ -83,9 +83,20 @@ def _signatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             jaccard_threshold=JACC_T,
         )
-        _SIG_CACHE[key] = build_signatures(
+        sigs = build_signatures(
             _docs(spark, sf_dir), cfg, key_cols=("doc_id",), content_col="text"
         ).persist()
+        # the exactness of every *_full / *_exact oracle rests on the sketch
+        # being COMPLETE for every doc; check the precondition where it is
+        # relied on instead of letting a corpus change silently degrade the
+        # queries to sketch-Jaccard (one tiny action, amortized by the cache)
+        mx = sigs.agg(F.max("n_unique").alias("m")).first()["m"]
+        if mx is not None and mx > FULL_SKETCH:
+            raise AssertionError(
+                f"corpus has a doc with {mx} distinct {K}-grams > FULL_SKETCH="
+                f"{FULL_SKETCH}; complete-sketch oracles would be silently wrong"
+            )
+        _SIG_CACHE[key] = sigs
     return _SIG_CACHE[key]
 
 

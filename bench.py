@@ -8,7 +8,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SYNTH (optional: n_base for the deterministic synthetic
        source-code corpus, FIXTURES.md §B — e.g. 30000 ≈ 50k files; the
-       corpus parquet is generated once and cached under /tmp).
+       corpus parquet is generated once and cached under /tmp),
+     SPARK_GRAFT_NO_WRITE=1 (optional: stage barriers via in-memory persist
+       instead of parquet round-trips — used by the scaling measurement so
+       a single shared local disk, a per-node resource on a real cluster,
+       does not confound the CPU-scaling signal).
 """
 from __future__ import annotations
 
@@ -80,19 +84,27 @@ def main() -> None:
 
     t_start = time.perf_counter()
 
+    no_write = os.environ.get("SPARK_GRAFT_NO_WRITE") == "1"
+
+    def _materialize(df, path):
+        if no_write:
+            df = df.persist()
+            df.count()
+            return df
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.perf_counter()
         sigs = build_signatures(docs, cfg, key_cols=("doc_id",), content_col=content_col)
-        sigs.write.mode("overwrite").parquet(f"{tmp}/signatures")
-        sigs = spark.read.parquet(f"{tmp}/signatures")
+        sigs = _materialize(sigs, f"{tmp}/signatures")
         timings["signatures"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
         verified = verify_pairs(cands, sigs, cfg, key_col="doc_id")
         pairs = verified.filter(F.col("jaccard") >= cfg.jaccard_threshold)
-        pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
-        pairs = spark.read.parquet(f"{tmp}/pairs")
+        pairs = _materialize(pairs, f"{tmp}/pairs")
         n_pairs = pairs.count()
         timings["lsh_verify"] = time.perf_counter() - t0
 

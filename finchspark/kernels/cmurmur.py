@@ -203,10 +203,20 @@ def _load() -> ctypes.CDLL | None:
     if cc is None:
         return None
     tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"finchspark_cmurmur_{tag}.so")
+    # cache under a per-uid 0700 directory and refuse to dlopen anything we
+    # don't own: a fixed world-writable path could be pre-planted by another
+    # local user (the source hash is public) for arbitrary code execution
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"finchspark-{os.getuid()}"
+    )
+    so_path = os.path.join(cache_dir, f"cmurmur_{tag}.so")
     try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            return None
         if not os.path.exists(so_path):
-            with tempfile.TemporaryDirectory() as td:
+            with tempfile.TemporaryDirectory(dir=cache_dir) as td:
                 src = os.path.join(td, "cmurmur.c")
                 with open(src, "w") as f:
                     f.write(_SRC)
@@ -218,6 +228,8 @@ def _load() -> ctypes.CDLL | None:
                     timeout=120,
                 )
                 os.replace(tmp_so, so_path)
+        if os.stat(so_path).st_uid != os.getuid():
+            return None
         lib = ctypes.CDLL(so_path)
         lib.sliding_low64.argtypes = [
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),

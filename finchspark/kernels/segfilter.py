@@ -71,6 +71,15 @@ def segment_guess_thresholds(
         np.maximum.at(doc_max, doc_idx, counts)
         cap = max(1, _MAX_HIST_CELLS // max(n_docs, 1))
         big = doc_max > cap
+        if not big.any():
+            # n_docs alone exceeds the cell budget (cap clamped with no
+            # outlier doc to peel off) — recursing would loop forever on
+            # identical arguments, so do the whole batch scalar instead
+            for d in range(n_docs):
+                seg = counts[offsets[d] : offsets[d + 1]]
+                if len(seg):
+                    out[d] = guess_filter_threshold(seg, filter_level)
+            return out
         for d in np.nonzero(big)[0]:
             seg = counts[offsets[d] : offsets[d + 1]]
             out[d] = guess_filter_threshold(seg, filter_level)

@@ -112,25 +112,32 @@ def connected_components(
         .distinct()
     )
 
-    def _truncate(df: DataFrame, it: int) -> DataFrame:
-        if checkpoint_dir is not None:
+    written: list[str] = []
+
+    def _truncate(df: DataFrame, it: int, durable: bool) -> DataFrame:
+        # durable parquet only on convergence-check rounds: writing every
+        # round would launch one full job per round and void the
+        # check_every batching of driver actions; skipped rounds stay lazy
+        if checkpoint_dir is not None and durable:
             path = f"{checkpoint_dir}/cc_iter_{it:04d}"
             df.write.mode("overwrite").parquet(path)
+            written.append(path)
             return spark.read.parquet(path)
         # lazy: materialized by the convergence action in the same job
         return df.localCheckpoint(eager=False)
 
-    e = _truncate(e, -1) if checkpoint_dir is not None else e.localCheckpoint(
-        eager=False
+    e = _truncate(e, -1, durable=True) if checkpoint_dir is not None else (
+        e.localCheckpoint(eager=False)
     )
     prev_sig = None
     for it in range(max_iter):
+        is_check = not ((it + 1) % check_every) or it + 1 >= max_iter
         # _small_star output is already distinct; the self-loop filter is
         # narrow — no extra shuffle per iteration
         e = _small_star(_large_star(e, salt_buckets), salt_buckets)
         e = e.filter(F.col("src") != F.col("dst"))
-        e = _truncate(e, it)
-        if (it + 1) % check_every and it + 1 < max_iter:
+        e = _truncate(e, it, durable=is_check)
+        if not is_check:
             continue
         # convergence: edge set stable (order-insensitive checksum);
         # bit_xor is overflow-free under ANSI mode and edges are distinct.
@@ -143,6 +150,14 @@ def connected_components(
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
+    # drop superseded iteration checkpoints — only the converged state (the
+    # lineage root of the returned frame) stays on disk as the resume point
+    if len(written) > 1:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for p in written[:-1]:
+            jp = jvm.org.apache.hadoop.fs.Path(p)
+            jp.getFileSystem(hconf).delete(jp, True)
     # after convergence edges form stars child -> root(min)
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))

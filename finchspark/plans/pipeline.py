@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..config import PipelineConfig
 from ..operators.cc import connected_components
@@ -36,11 +37,24 @@ class NearDupResult:
 
 
 def simhash_candidate_pairs(
-    signatures: DataFrame, config: PipelineConfig, key_col: str = "doc_id"
-) -> DataFrame:
+    signatures: DataFrame,
+    config: PipelineConfig,
+    key_col: str = "doc_id",
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Hamming-banded SimHash pairs for short documents. Any pair with
     Hamming distance < 4 shares one of the four 16-bit chunks; verified
-    exactly with bit_count (JVM-side, whole-stage codegen)."""
+    exactly with bit_count (JVM-side, whole-stage codegen).
+
+    Same skew discipline as the MinHash LSH stage (`operators/lsh.py`): a
+    window count over the join partitioning sizes each (chunk_id, chunk_val)
+    bucket in the SAME single shuffle the self-join needs; buckets above
+    `config.lsh.bucket_cap` are dropped from pair generation and surfaced as
+    metrics — at 10^8 short docs a popular 16-bit chunk value would
+    otherwise emit ~n²/2¹⁶ candidate rows before the Hamming filter. Near
+    pairs lost to a capped chunk usually share one of their three other
+    chunks; exact duplicates are always caught by the sha256 path.
+    """
     short = signatures.filter(
         (F.col("n_kmers") > 0) & (F.col("n_kmers") < config.short_doc_min_kmers)
     ).select(key_col, "simhash")
@@ -56,22 +70,37 @@ def simhash_candidate_pairs(
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    a = chunks.select(
-        "chunk_id", "chunk_val", F.col(key_col).alias("key_a"), F.col("simhash").alias("sim_a")
-    )
-    b = chunks.select(
-        "chunk_id", "chunk_val", F.col(key_col).alias("key_b"), F.col("simhash").alias("sim_b")
-    )
-    pairs = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "sim_a", "sim_b")
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    sized = chunks.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    overflow = (
+        sized.filter(F.col("bucket_size") > config.lsh.bucket_cap)
+        .select("chunk_id", "chunk_val", "bucket_size")
         .distinct()
     )
-    return pairs.filter(
+    member = sized.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= config.lsh.bucket_cap)
+    ).select("chunk_id", "chunk_val", key_col, "simhash")
+    a, b = member.alias("a"), member.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    pairs = pairs.filter(
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         <= config.simhash_max_hamming
     ).select("key_a", "key_b")
+    return (pairs, overflow) if with_metrics else pairs
 
 
 def near_duplicates(

@@ -19,6 +19,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 def run_once(sf_dir: str, cpus: int, synth: int | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    # scaling runs barrier stages in memory: one shared local disk is a
+    # per-node resource on a real cluster and must not confound CPU scaling
+    env.setdefault("SPARK_GRAFT_NO_WRITE", "1")
     if synth:
         env["SPARK_GRAFT_SYNTH"] = str(synth)
     out = subprocess.run(

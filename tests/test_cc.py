@@ -70,3 +70,26 @@ def test_cc_durable_checkpoint(spark, tmp_path):
         assert got[u] == expect[u]
     # durable state actually landed on disk
     assert any((tmp_path / "cc_state").glob("cc_iter_*"))
+
+
+def test_cc_durable_checkpoint_writes_only_check_rounds(spark, tmp_path):
+    """Durable state is written only on convergence-check rounds (else the
+    check_every batching of driver actions buys nothing), and superseded
+    cc_iter_* directories are deleted after convergence — only the converged
+    resume point (the lineage root of the returned frame) remains."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(
+        df, checkpoint_dir=str(tmp_path / "cc_state"), check_every=3
+    )
+    remaining = sorted((tmp_path / "cc_state").glob("cc_iter_*"))
+    assert len(remaining) == 1
+    # the returned frame stays readable after cleanup (lineage -> last dir)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    expect = union_find_components(31, edges)
+    for u in range(31):
+        assert got[u] == expect[u]
+    # the surviving directory is a check-round iteration (durable writes on
+    # check rounds only: iterations 2, 5, 8... for check_every=3)
+    it = int(remaining[0].name.split("_")[-1])
+    assert (it + 1) % 3 == 0 or it == -1

@@ -111,3 +111,38 @@ def test_checkpoint_resume_and_params_guard(spark, documents_df, cfg, tmp_path):
     store2 = TableStore(tmp_path / "ckpt", cfg2.params_hash())
     with pytest.raises(ParamsMismatch):
         near_duplicates(documents_df, cfg2, store=store2)
+
+
+def test_simhash_chunk_bucket_cap(spark, cfg):
+    """A mega-bucket on one 16-bit chunk value is dropped from pair
+    generation and surfaced as metrics; pairs sharing an uncapped chunk are
+    still emitted (same skew discipline as the MinHash LSH stage)."""
+    from dataclasses import replace
+
+    from finchspark.config import LshConfig
+    from finchspark.plans.pipeline import simhash_candidate_pairs
+
+    rows = []
+    # docs 1..10 all share chunk0 = 0xAAAA; chunks 1-3 are distinct per doc
+    for i in range(1, 11):
+        rows.append((i, 5, (i << 48) | (i << 32) | (i << 16) | 0xAAAA))
+    # x,y share chunks 1-3 and differ by one bit in chunk0 -> hamming 1
+    rows.append((100, 5, (0x700D << 48) | (0xCAFE << 32) | (0xBEEF << 16) | 0x1111))
+    rows.append((101, 5, (0x700D << 48) | (0xCAFE << 32) | (0xBEEF << 16) | 0x1110))
+    sigs = spark.createDataFrame(rows, "doc_id long, n_kmers long, simhash long")
+    capped_cfg = replace(cfg, lsh=LshConfig(bucket_cap=4))
+    pairs, overflow = simhash_candidate_pairs(sigs, capped_cfg, with_metrics=True)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    ov = overflow.collect()
+    assert len(ov) == 1
+    assert (ov[0]["chunk_id"], ov[0]["chunk_val"], ov[0]["bucket_size"]) == (
+        0,
+        0xAAAA,
+        10,
+    )
+    # uncapped config still finds the near pairs inside the big bucket
+    full = simhash_candidate_pairs(sigs, cfg)
+    got_full = {(r["key_a"], r["key_b"]) for r in full.collect()}
+    assert (100, 101) in got_full
+    assert (1, 3) in got_full  # hamming 3 via the shared chunk0

@@ -127,3 +127,23 @@ def test_matrix_guard_fallback_matches():
     finally:
         sf._MAX_HIST_CELLS = old
     assert np.array_equal(got, want)
+
+
+def test_guess_thresholds_no_recursion_when_cells_budget_tiny(monkeypatch):
+    """When n_docs alone exceeds the histogram cell budget (cap clamps to 1
+    with no outlier doc to peel off), the kernel must fall back to the scalar
+    loop instead of recursing on identical arguments forever."""
+    import numpy as np
+
+    from finchspark.kernels import segfilter
+    from finchspark.kernels.sketch import guess_filter_threshold
+
+    monkeypatch.setattr(segfilter, "_MAX_HIST_CELLS", 2)
+    counts = np.array([1, 1, 2, 1, 1, 3, 3], dtype=np.int64)
+    offsets = np.array([0, 2, 4, 7], dtype=np.int64)
+    got = segfilter.segment_guess_thresholds(counts, offsets, 0.2)
+    want = [
+        guess_filter_threshold(counts[s:e], 0.2)
+        for s, e in zip(offsets[:-1], offsets[1:])
+    ]
+    assert got.tolist() == want
