@@ -376,6 +376,67 @@ def _q_cc_neardup(spark, sf):
     return near_duplicates(docs, _cfg(), key_col="doc_id").components
 
 
+def _q_near_dup_pairs_full(spark, sf):
+    """The flagship LSH→verify path, value-exact end-to-end: over COMPLETE
+    sketches the OPH band join's candidate set equals the exact >= JACC_T
+    pair set on this corpus (deterministic at fixed murmur3/band config;
+    recall is separately value-gated by `lsh_recall`), and complete-mode
+    verification reports true set quantities — so every output column has an
+    ANSI-SQL twin over the raw 21-gram sets."""
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.verify import verify_pairs
+
+    sigs = _signatures_full(spark, sf)
+    cands, _ = candidate_pairs(sigs, _cfg().lsh, key_col="doc_id")
+    v = verify_pairs(cands, sigs, _cfg(), key_col="doc_id", assume_complete=True)
+    return v.filter(F.col("jaccard") >= JACC_T).select(
+        "key_a",
+        "key_b",
+        "jaccard",
+        "containment",
+        F.round("mash_distance", 9).alias("mash_distance"),
+        "common_hashes",
+        "total_hashes",
+    )
+
+
+def _q_cc_neardup_full(spark, sf):
+    """The ENTIRE flagship pipeline (signatures → LSH candidates → verify →
+    sha/simhash side paths → connected components) in complete-sketch exact
+    mode: the resulting component map is value-checked against a recursive-
+    CTE transitive closure over the exact near-dup graph."""
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.plans.pipeline import near_duplicates
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(
+            kmers_to_sketch=FULL_SKETCH, final_size=FULL_SKETCH, kmer_length=K
+        ),
+        jaccard_threshold=JACC_T,
+    )
+    docs = _docs(spark, sf).withColumnRenamed("text", "content")
+    return near_duplicates(
+        docs, cfg, key_col="doc_id", assume_complete=True
+    ).components
+
+
+def _q_span_coverage(spark, sf):
+    """Span-dedup coverage with an exact SQL twin: a byte of A is covered by
+    a common substring >= 32 bytes iff some common 32-gram's window contains
+    it, so coverage_a equals the union of windows of common 32-grams — which
+    DuckDB can compute directly from the texts. Pairs come from the exact
+    flagship path."""
+    from finchspark.operators.spandedup import span_dedup_pairs
+
+    pairs = _q_near_dup_pairs_full(spark, sf).select("key_a", "key_b")
+    docs = _docs(spark, sf).withColumnRenamed("text", "content")
+    out = span_dedup_pairs(pairs, docs, min_len=32)
+    return out.select(
+        "key_a", "key_b", F.round("coverage_a", 9).alias("coverage_a")
+    )
+
+
 def _q_merged_signatures(spark, sf):
     from finchspark.operators.merge import merge_signatures_by
 
@@ -468,7 +529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_cardinality": _q_kmv_cardinality,
         "lsh_candidates": _q_lsh_candidates,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_pairs_full": _q_near_dup_pairs_full,
         "cc_neardup": _q_cc_neardup,
+        "cc_neardup_full": _q_cc_neardup_full,
+        "span_coverage": _q_span_coverage,
         "merged_signatures": _q_merged_signatures,
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
@@ -575,6 +639,14 @@ from h
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # the complete-sketch pipeline's components equal the transitive closure
+    # of the exact near-dup graph (same value oracle as the CC operator)
+    out["cc_neardup_full"] = out["cc_exact"]
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     from finchspark.operators.textops import STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -716,6 +788,50 @@ select depth, count(*) as n_kmers from d group by depth
 """,
         "neardup_exact": _EXACT_PAIRS
         + "select key_a, key_b, jaccard, containment_a from exact_pairs",
+        # the OPH band join emits EXACTLY the exact >= JACC_T pair set on
+        # this corpus (deterministic at fixed murmur3 hashes / band config —
+        # recall 1.0 is separately value-gated by `lsh_recall`, and the
+        # planted corpus has no pair in (0.05, 0.88) to false-positive on);
+        # a banding regression changes the row set and fails the hash
+        "lsh_candidates": _EXACT_PAIRS
+        + "select key_a, key_b from exact_pairs",
+        "near_dup_pairs_full": f"""
+with g as (select doc_id, {_KGRAMS} as grams from documents),
+t as (select doc_id, len(grams) as n, unnest(grams) as gram from g where len(grams) > 0),
+co as (
+  select a.doc_id as key_a, b.doc_id as key_b, a.n as na, b.n as nb, count(*) as inter
+  from t a join t b on a.gram = b.gram and b.doc_id > a.doc_id
+  group by 1, 2, 3, 4
+),
+full_pairs as (
+  select key_a, key_b,
+         inter / cast(na + nb - inter as double) as jaccard,
+         inter / cast(nb as double) as containment,
+         inter as common_hashes,
+         na + nb - inter as total_hashes
+  from co where inter / cast(na + nb - inter as double) >= {JACC_T}
+)
+select key_a, key_b, jaccard, containment,
+  round(case when jaccard <= 0.0 then 1.0
+        else least(1.0, greatest(0.0, -ln(2*jaccard/(1+jaccard))/{K})) end, 9)
+    as mash_distance,
+  common_hashes, total_hashes
+from full_pairs
+""",
+        "span_coverage": _EXACT_PAIRS
+        + """
+select p.key_a, p.key_b,
+  round(
+    coalesce(len(list_distinct(flatten(
+      list_transform(
+        list_filter(generate_series(1, greatest(length(a.text) - 31, 0)),
+                    i -> contains(b.text, substring(a.text, i, 32))),
+        i -> generate_series(i, i + 31))))), 0)
+    / cast(length(a.text) as double), 9) as coverage_a
+from exact_pairs p
+join documents a on a.doc_id = p.key_a
+join documents b on b.doc_id = p.key_b
+""",
         "char_class_profile": f"""
 with gr as (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents),
 s as (

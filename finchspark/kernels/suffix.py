@@ -161,34 +161,59 @@ def common_spans(
     return spans
 
 
+def _covered_mask(sa: np.ndarray, lcp: np.ndarray, la: int, min_len: int) -> np.ndarray:
+    """EXACT coverage of `a` by common substrings >= min_len, vectorized.
+
+    A byte p of `a` lies in a common substring of length >= min_len iff some
+    min_len-gram window containing p is common (clip any longer occurrence to
+    a window around p). A min_len-gram at position i is common iff suffix
+    A_i shares a >= min_len prefix with SOME B-suffix — i.e. they sit in the
+    same maximal SA block whose adjacent LCPs are all >= min_len (LCP of two
+    suffixes = min of adjacent LCPs between them). Block decomposition +
+    bincount + a diff-array window union: exact, no per-span loop, and —
+    unlike a union over the reported adjacent-pair spans — not blind to
+    repeated occurrences inside `a` (an A-occurrence whose SA neighbors are
+    both A-suffixes has no adjacent cross pair but IS covered).
+    """
+    n = len(sa)
+    block = np.zeros(n, dtype=np.int64)
+    block[1:] = np.cumsum(lcp < min_len)
+    is_b = sa > la  # strictly: the sentinel at `la` is its own block anyway
+    has_b = np.bincount(block[is_b], minlength=int(block[-1]) + 1) > 0
+    a_starts = sa[(sa < la) & has_b[block]]
+    covered = np.zeros(la, dtype=bool)
+    if len(a_starts):
+        delta = np.zeros(la + 1, dtype=np.int64)
+        np.add.at(delta, a_starts, 1)
+        np.add.at(delta, a_starts + min_len, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+    return covered
+
+
 def spans_and_coverage(
-    a: bytes, b: bytes, min_len: int = 32, max_spans: int = 64, cov_spans: int = 256
+    a: bytes, b: bytes, min_len: int = 32, max_spans: int = 64
 ) -> tuple[list[tuple[int, int, int]], float]:
     """(spans, coverage_a) from ONE suffix-array pass.
 
-    Equals (common_spans(a, b, min_len, max_spans),
-    span_coverage(a, b, min_len)): the greedy span selection is
-    prefix-stable in max_spans, so the first `max_spans` of the
-    `cov_spans`-bounded selection ARE the `max_spans` selection.
+    `spans` is the greedy bounded selection of maximal cross-document spans
+    (`common_spans` semantics); `coverage_a` is EXACT — the fraction of A's
+    bytes lying in ANY common substring >= min_len (see `_covered_mask`),
+    independent of the span-list bound.
     """
     la, lb = len(a), len(b)
     if la < min_len or lb < min_len or la == 0:
         return [], 0.0
     sa, lcp = suffix_array_and_lcp(_joint_array(a, b))
-    all_spans = _spans_from_sa(sa, lcp, la, min_len, cov_spans)
-    covered = np.zeros(la, dtype=bool)
-    for pa, _, ln in all_spans:
-        covered[pa : pa + ln] = True
-    spans = sorted(all_spans[:max_spans])
-    return spans, float(covered.mean())
+    spans = sorted(_spans_from_sa(sa, lcp, la, min_len, max_spans))
+    coverage = float(_covered_mask(sa, lcp, la, min_len).mean())
+    return spans, coverage
 
 
 def span_coverage(a: bytes, b: bytes, min_len: int = 32) -> float:
-    """Fraction of `a`'s bytes covered by common spans with `b` — the span
-    analogue of containment."""
-    if len(a) == 0:
+    """Fraction of `a`'s bytes covered by common substrings >= min_len with
+    `b` — the span analogue of containment. Exact (`_covered_mask`)."""
+    la = len(a)
+    if la == 0 or la < min_len or len(b) < min_len:
         return 0.0
-    covered = np.zeros(len(a), dtype=bool)
-    for pa, _, ln in common_spans(a, b, min_len=min_len, max_spans=256):
-        covered[pa : pa + ln] = True
-    return float(covered.mean())
+    sa, lcp = suffix_array_and_lcp(_joint_array(a, b))
+    return float(_covered_mask(sa, lcp, la, min_len).mean())

@@ -55,11 +55,22 @@ def verify_pairs(
     signatures: DataFrame,
     config: PipelineConfig,
     key_col: str = "doc_id",
+    assume_complete: bool = False,
 ) -> DataFrame:
     """pairs(key_a, key_b) × signatures → verified distances DataFrame with
     (key_a, key_b, containment, jaccard, mash_distance, common_hashes,
     total_hashes), where key_a is the QUERY and key_b the REFERENCE
-    (containment is directional, `distance.rs:118`)."""
+    (containment is directional, `distance.rs:118`).
+
+    `assume_complete=True` is for COMPLETE sketches (sketch size >= every
+    doc's distinct shingle count): the reference's stop rule models the hash
+    region two *truncated* bottom-k sketches both cover, which over complete
+    sketches would still truncate the union at min(max_a, max_b) — a
+    murmur-order artifact, not set semantics. Complete mode reports the true
+    set quantities instead: total = |A ∪ B|, jaccard = |A∩B|/|A∪B|,
+    containment = |A∩B|/|B| (the whole reference side is consumed). These
+    are exactly the quantities a SQL oracle over the shingle sets computes.
+    """
     scale = (
         config.sketch.scale if config.sketch.sketch_type == "scaled" else 0.0
     )
@@ -93,6 +104,13 @@ def verify_pairs(
             ua = i64_to_u64_shifted(va)
             ub = i64_to_u64_shifted(vb)
             cont, jac, common, total = raw_distance_many(ua, oa, ub, ob, scale)
+            if assume_complete:
+                na = np.diff(oa)
+                nb = np.diff(ob)
+                total = na + nb - common
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cont = np.where(nb > 0, common / nb, 0.0)
+                    jac = np.where(total > 0, common / total, 1.0)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),

@@ -111,7 +111,12 @@ def near_duplicates(
     store: TableStore | None = None,
     include_simhash_path: bool = True,
     include_exact_path: bool = True,
+    assume_complete: bool = False,
 ) -> NearDupResult:
+    """`assume_complete=True`: the sketches are complete (sketch size >= any
+    doc's distinct shingles) and verification reports true set quantities
+    (see `verify_pairs`) — the exact-mode pipeline used by the value
+    oracles."""
     config = config or PipelineConfig()
 
     def _stage(name: str, compute):
@@ -136,7 +141,9 @@ def near_duplicates(
     cands, bucket_overflow = candidate_pairs(signatures, config.lsh, key_col)
 
     def compute_pairs():
-        verified = verify_pairs(cands, signatures, config, key_col)
+        verified = verify_pairs(
+            cands, signatures, config, key_col, assume_complete=assume_complete
+        )
         return verified.filter(F.col("jaccard") >= config.jaccard_threshold)
 
     pairs = _stage("pairs", compute_pairs)

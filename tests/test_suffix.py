@@ -2,7 +2,7 @@
 import numpy as np
 import pytest
 
-from finchspark.kernels.suffix import common_spans, lcp_array, span_coverage, suffix_array
+from finchspark.kernels.suffix import common_spans, lcp_array, span_coverage, spans_and_coverage, suffix_array
 
 
 def _naive_sa(s: bytes) -> list[int]:
@@ -141,3 +141,46 @@ def test_spans_and_coverage_equals_separate_calls():
     assert spans == common_spans(a, b, min_len=24)
     assert cov == span_coverage(a, b, min_len=24)
     assert spans and cov > 0
+
+
+def _brute_coverage(a: bytes, b: bytes, min_len: int) -> float:
+    """Reference: byte p covered iff some common min_len-gram window holds p."""
+    la = len(a)
+    if la == 0 or la < min_len or len(b) < min_len:
+        return 0.0
+    covered = [False] * la
+    for i in range(la - min_len + 1):
+        if a[i : i + min_len] in b:
+            for p in range(i, i + min_len):
+                covered[p] = True
+    return sum(covered) / la
+
+
+def test_coverage_exact_vs_bruteforce_random():
+    import random
+
+    rng = random.Random(7)
+    for trial in range(30):
+        la = rng.randrange(0, 120)
+        lb = rng.randrange(0, 120)
+        a = bytes(rng.choice(b"abc") for _ in range(la))
+        b = bytes(rng.choice(b"abc") for _ in range(lb))
+        for min_len in (3, 5, 8):
+            got = span_coverage(a, b, min_len=min_len)
+            want = _brute_coverage(a, b, min_len)
+            assert abs(got - want) < 1e-12, (trial, min_len, a, b, got, want)
+            _, cov2 = spans_and_coverage(a, b, min_len=min_len)
+            assert abs(cov2 - want) < 1e-12
+
+
+def test_coverage_counts_repeated_occurrences_in_a():
+    """An A-occurrence whose SA neighbors are both A-suffixes has no adjacent
+    cross pair; exact coverage must still count it. Both occurrences of the
+    shared block in A are covered."""
+    block = b"SHAREDBLOCKXYZ"
+    a = b"111" + block + b"qqqq" + block + b"222"
+    b = b"zzz" + block + b"zzz"
+    cov = span_coverage(a, b, min_len=len(block))
+    want = _brute_coverage(a, b, len(block))
+    assert abs(cov - want) < 1e-12
+    assert abs(cov - (2 * len(block)) / len(a)) < 1e-12
