@@ -18,15 +18,49 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def exact_dup_pairs(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
-    """All (key_a < key_b) pairs with byte-identical text."""
-    a = docs.select(F.col(key).alias("key_a"), F.md5(text).alias("h"))
-    b = docs.select(F.col(key).alias("key_b"), F.md5(text).alias("h"))
-    return (
-        a.join(b, "h")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+def exact_dup_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_group: int | None = None,
+) -> DataFrame:
+    """All (key_a < key_b) pairs with byte-identical text.
+
+    Pair semantics make the OUTPUT inherently O(g²) per duplicate group, but
+    the plan is a single shuffle (groupBy on the content hash + in-group
+    expansion with array HOFs) — no self-join, so no O(g²) join-probe rows
+    and per-group state bounded by the member list. For clustering use the
+    star-edge forms (`exact_dup_clusters` / `lsh.exact_dup_pairs_sha`)
+    instead — linear output, same components. `max_group` caps the quadratic
+    expansion: groups larger than it emit star edges (min-key → member)
+    only, which preserves connectivity but not pair completeness.
+    """
+    members = (
+        docs.select(F.md5(text).alias("h"), F.col(key))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list(key)).alias("ks"))
+        .filter(F.size("ks") > 1)
     )
+    # (element, index) two-arg lambda: pair each member with every LATER one
+    all_pairs_expr = F.explode(
+        F.expr(
+            "flatten(transform(ks, (x, i) -> "
+            "transform(slice(ks, i + 2, size(ks)), y -> "
+            "struct(x as key_a, y as key_b))))"
+        )
+    ).alias("p")
+    if max_group is None:
+        return members.select(all_pairs_expr).select("p.key_a", "p.key_b")
+    small = members.filter(F.size("ks") <= max_group).select(all_pairs_expr)
+    big = members.filter(F.size("ks") > max_group).select(
+        F.explode(
+            F.expr(
+                "transform(slice(ks, 2, size(ks)), y -> "
+                "struct(ks[0] as key_a, y as key_b))"
+            )
+        ).alias("p")
+    )
+    return small.unionByName(big).select("p.key_a", "p.key_b")
 
 
 def exact_dup_clusters(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:

@@ -79,11 +79,79 @@ def test_multimodal_features(spark):
     assert out[3]["sha256"] == hashlib.sha256(b"").hexdigest()
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_png_real_jpeg_stubbed():
+    import numpy as np
+
+    from finchspark.kernels.png import encode_png
     from finchspark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    for ft in range(5):  # every PNG scanline filter reconstructs exactly
+        out = decode_image(encode_png(img, filter_type=ft))
+        assert out.shape == (6, 9, 3) and (out == img).all()
+    with pytest.raises(NotImplementedError):  # JPEG genuinely needs a codec
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(64))
+    with pytest.raises(ValueError):  # truncated PNG fails loudly, not wrongly
+        decode_image(encode_png(img)[:-8])
+
+
+def test_png_palette_and_gray_alpha():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from finchspark.kernels.png import decode_png, encode_png
+
+    # gray+alpha roundtrip (2 channels)
+    ga = np.arange(5 * 4 * 2, dtype=np.uint8).reshape(5, 4, 2)
+    assert (decode_png(encode_png(ga, filter_type=2)) == ga).all()
+
+    # hand-built palette image (color type 3) expands through PLTE
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (2, 3, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_extract_image_features(spark):
+    import numpy as np
+
+    from finchspark.kernels.png import encode_png
+    from finchspark.operators.multimodal import extract_image_features
+
+    img1 = np.full((4, 5, 3), 10, dtype=np.uint8)
+    img1[:, :, 1] = 200
+    rows = [
+        (1, bytearray(encode_png(img1, filter_type=4))),
+        (2, bytearray(b"\xff\xd8\xff" + bytes(32))),  # jpeg -> decode_error row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    r1 = out[1]
+    assert (r1["height"], r1["width"], r1["channels"]) == (4, 5, 3)
+    assert r1["channel_means"] == [10.0, 200.0, 10.0]
+    assert abs(r1["mean_pixel"] - (10 + 200 + 10) / 3) < 1e-12
+    assert r1["decode_error"] is None
+    assert out[2]["decode_error"].startswith("NotImplementedError")
+    assert out[2]["height"] is None
 
 
 def test_api_sketch_and_compare():
@@ -208,3 +276,30 @@ def test_winnow_fingerprints_guarantee_and_scalar_parity(spark):
         assert got.get(did, set()) == scalar(text), did
     assert got[0] & got[1], "shared segment must share a fingerprint"
     assert not (got[2] & got[0])
+
+
+def test_exact_dup_pairs_group_expansion(spark):
+    """Single-shuffle in-group expansion: all C(g,2) ordered pairs per
+    identical-text group, no self-join; max_group falls back to star edges."""
+    from itertools import combinations
+
+    from finchspark.operators.dedup import exact_dup_pairs
+
+    rows = (
+        [(i, "groupA") for i in (3, 1, 7, 5)]
+        + [(i, "groupB") for i in (10, 11)]
+        + [(20, "unique")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["key_a"], r["key_b"]) for r in exact_dup_pairs(docs).collect()}
+    want = set(combinations(sorted((3, 1, 7, 5)), 2)) | {(10, 11)}
+    assert got == want
+    # plan shape: no SortMergeJoin/BroadcastHashJoin — expansion is join-free
+    plan = exact_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # capped: big group degrades to star edges from the min key
+    capped = {
+        (r["key_a"], r["key_b"])
+        for r in exact_dup_pairs(docs, max_group=3).collect()
+    }
+    assert capped == {(1, 3), (1, 5), (1, 7), (10, 11)}
