@@ -1,0 +1,480 @@
+"""`.bsk` (finch binary sketch) interchange — a hand-rolled Cap'n Proto codec.
+
+The reference serializes sketches with `capnp_serialize::write_message`
+(`lib/src/serialization/mod.rs:123-224`) against the schema in
+`lib/src/serialization/finch.capnp`: standard *uncompressed* capnp stream
+framing, root struct `Multisketch`. No capnp library exists in this
+container, so this module implements the wire format directly from the
+public Cap'n Proto encoding spec (https://capnproto.org/encoding.html),
+specialized to that one schema:
+
+- stream framing: u32 segment-count-1, u32 sizes (words), pad to 8 bytes;
+- struct pointer: kind 0, signed 30-bit word offset (from the word after
+  the pointer), data-section size (u16 words), pointer-section size (u16);
+- list pointer: kind 1, element-size tag 7 (composite, with a struct tag
+  word carrying the element count) for struct lists and tag 2 (byte) for
+  Text (NUL-terminated) / Data;
+- far pointers (kind 2, single- and double-word landing pads) are handled
+  on READ — the Rust builder splits large messages across segments — and
+  never produced on write (one segment, exact pre-sized allocation).
+
+Field offsets follow capnp's documented first-fit layout of the schema's
+declaration order; they are fixed constants here (the schema is frozen —
+`finch.capnp` carries its file id). Layout of each struct is documented at
+its pack/unpack site. Round-trip is property-tested; parity against a
+reference-written file cannot be run in this sandbox (no Rust toolchain /
+network) and is called out in SURVEY §2.1.
+"""
+from __future__ import annotations
+
+import struct as _struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..api import Sketch
+from ..kernels import FilterParams, KmerCounts, SketchParams
+
+_WORD = 8
+
+# element-size codes (list pointers)
+_SZ_BYTE = 2
+_SZ_COMPOSITE = 7
+
+
+# --------------------------------------------------------------------------
+# writer: one segment, exact allocation
+# --------------------------------------------------------------------------
+
+
+class _Seg:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def alloc(self, n_words: int) -> int:
+        off = len(self.buf) // _WORD
+        self.buf.extend(b"\x00" * (n_words * _WORD))
+        return off
+
+    def put_u64(self, word_off: int, value: int) -> None:
+        _struct.pack_into("<Q", self.buf, word_off * _WORD, value & 0xFFFFFFFFFFFFFFFF)
+
+    def put_bytes(self, word_off: int, data: bytes) -> None:
+        self.buf[word_off * _WORD : word_off * _WORD + len(data)] = data
+
+
+def _struct_ptr(ptr_word: int, target_word: int, data_words: int, ptr_words: int) -> int:
+    off = target_word - (ptr_word + 1)
+    return ((off & 0x3FFFFFFF) << 2) | (data_words << 32) | (ptr_words << 48)
+
+
+def _list_ptr(ptr_word: int, target_word: int, elem_size: int, count: int) -> int:
+    off = target_word - (ptr_word + 1)
+    return 1 | ((off & 0x3FFFFFFF) << 2) | (elem_size << 32) | (count << 35)
+
+
+def _write_blob(seg: _Seg, ptr_word: int, data: bytes, is_text: bool) -> None:
+    if data is None:
+        return  # null pointer = absent field
+    n = len(data) + (1 if is_text else 0)  # Text includes the NUL
+    target = seg.alloc((n + _WORD - 1) // _WORD)
+    seg.put_bytes(target, data)
+    seg.put_u64(ptr_word, _list_ptr(ptr_word, target, _SZ_BYTE, n))
+
+
+def write_bsk_bytes(sketches: list[Sketch]) -> bytes:
+    """Serialize sketches to finch `.bsk` bytes (capnp Multisketch)."""
+    seg = _Seg()
+    root_ptr = seg.alloc(1)  # word 0: root pointer
+    # Multisketch: 0 data words, 1 pointer (sketches @0)
+    ms = seg.alloc(1)
+    seg.put_u64(root_ptr, _struct_ptr(root_ptr, ms, 0, 1))
+
+    # Sketch layout: data 2 words (seqLength @1 -> w0, numValidKmers @2 -> w1);
+    # pointers: name @0, comment @3, hashes @4, filterParams @5, sketchParams @6
+    SK_DATA, SK_PTRS = 2, 5
+    n = len(sketches)
+    tag_and_elems = seg.alloc(1 + n * (SK_DATA + SK_PTRS))
+    seg.put_u64(ms, _list_ptr(ms, tag_and_elems, _SZ_COMPOSITE, n * (SK_DATA + SK_PTRS)))
+    # composite tag word: struct pointer shape with element count in offset
+    seg.put_u64(tag_and_elems, (n << 2) | (SK_DATA << 32) | (SK_PTRS << 48))
+
+    for i, sk in enumerate(sketches):
+        base = tag_and_elems + 1 + i * (SK_DATA + SK_PTRS)
+        seg.put_u64(base + 0, sk.seq_length)
+        seg.put_u64(base + 1, sk.num_valid_kmers)
+        ptrs = base + SK_DATA
+        _write_blob(seg, ptrs + 0, sk.name.encode(), is_text=True)
+        _write_blob(seg, ptrs + 1, b"", is_text=True)  # comment
+
+        # hashes: List(KmerCount); KmerCount layout: data 2 words (hash @0 ->
+        # w0; count @2 -> w1 bits 0-31, extraCount @3 -> w1 bits 32-63);
+        # pointers: kmer @1, label @4
+        KC_DATA, KC_PTRS = 2, 2
+        kc = sk.hashes
+        m = len(kc)
+        kc_list = seg.alloc(1 + m * (KC_DATA + KC_PTRS))
+        seg.put_u64(
+            ptrs + 2, _list_ptr(ptrs + 2, kc_list, _SZ_COMPOSITE, m * (KC_DATA + KC_PTRS))
+        )
+        seg.put_u64(kc_list, (m << 2) | (KC_DATA << 32) | (KC_PTRS << 48))
+        for j in range(m):
+            kbase = kc_list + 1 + j * (KC_DATA + KC_PTRS)
+            seg.put_u64(kbase + 0, int(kc.hashes[j]))
+            cnt = min(int(kc.counts[j]), 0xFFFFFFFF)
+            extra = min(int(kc.extra_counts[j]), 0xFFFFFFFF)
+            seg.put_u64(kbase + 1, cnt | (extra << 32))
+            kmer = kc.kmers[j] if kc.kmers is not None else b""
+            _write_blob(seg, kbase + KC_DATA + 0, kmer, is_text=False)
+            # label stays a null pointer (reference writes it only when set)
+
+        # FilterParams: data 4 words (filtered @0 -> w0 bit 0; lowAbunFilter
+        # @1 -> w0 bits 32-63; highAbunFilter @2 -> w1 bits 0-31; errFilter
+        # @3 -> w2; strandFilter @4 -> w3), 0 pointers
+        fp = sk_filter_params(sk)
+        fpw = seg.alloc(4)
+        seg.put_u64(ptrs + 3, _struct_ptr(ptrs + 3, fpw, 4, 0))
+        low = fp.abun_filter_low or 0
+        high = 0xFFFFFFFF if fp.abun_filter_high is None else fp.abun_filter_high
+        seg.put_u64(fpw + 0, (1 if fp.filter_on else 0) | (low << 32))
+        seg.put_u64(fpw + 1, high)
+        seg.put_bytes(fpw + 2, _struct.pack("<d", fp.err_filter))
+        seg.put_bytes(fpw + 3, _struct.pack("<d", fp.strand_filter))
+
+        # SketchParams: data 5 words (sketchMethod @0 -> w0 bits 0-15;
+        # kmerLength @1 -> w0 bits 16-23; noStrict @5 -> w0 bit 24;
+        # kmersToSketch @2 -> w1; hashSeed @3 -> w2; finalSize @4 -> w3;
+        # scale @6 -> w4), 0 pointers
+        p = sk.params
+        method = {"mash": 0, "scaled": 1, "allcounts": 2}[p.sketch_type]
+        spw = seg.alloc(5)
+        seg.put_u64(ptrs + 4, _struct_ptr(ptrs + 4, spw, 5, 0))
+        seg.put_u64(
+            spw + 0,
+            method | (p.kmer_length << 16) | ((1 if p.no_strict else 0) << 24),
+        )
+        seg.put_u64(spw + 1, p.kmers_to_sketch)
+        seg.put_u64(spw + 2, p.hash_seed)
+        seg.put_u64(spw + 3, p.final_size)
+        scale = p.scale if p.sketch_type == "scaled" else 0.0
+        seg.put_bytes(spw + 4, _struct.pack("<d", scale))
+
+    # stream framing: single segment
+    n_words = len(seg.buf) // _WORD
+    return _struct.pack("<II", 0, n_words) + bytes(seg.buf)
+
+
+def sk_filter_params(sk: Sketch) -> FilterParams:
+    fp = getattr(sk, "filter_params", None)
+    return fp if fp is not None else FilterParams()
+
+
+# --------------------------------------------------------------------------
+# reader: multi-segment + far pointers
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Loc:
+    seg: int
+    word: int
+
+
+class _Reader:
+    def __init__(self, data: bytes) -> None:
+        if len(data) < 8:
+            raise ValueError("truncated capnp message")
+        (n_minus_1,) = _struct.unpack_from("<I", data, 0)
+        n = n_minus_1 + 1
+        sizes = _struct.unpack_from(f"<{n}I", data, 4)
+        header = 4 * (n + 1)
+        header += (-header) % _WORD
+        self.segs: list[memoryview] = []
+        pos = header
+        for s in sizes:
+            end = pos + s * _WORD
+            if end > len(data):
+                raise ValueError("segment table overruns message")
+            self.segs.append(memoryview(data)[pos:end])
+            pos = end
+
+    def word(self, loc: _Loc) -> int:
+        seg = self.segs[loc.seg]
+        off = loc.word * _WORD
+        if off + 8 > len(seg):
+            raise ValueError("pointer outside segment")
+        return _struct.unpack_from("<Q", seg, off)[0]
+
+    def _resolve(self, loc: _Loc) -> tuple[_Loc, int]:
+        """Follow far pointers; return (pointer location, pointer word)."""
+        ptr = self.word(loc)
+        if ptr & 3 != 2:
+            return loc, ptr
+        two_word = (ptr >> 2) & 1
+        pad = _Loc((ptr >> 32) & 0xFFFFFFFF, (ptr >> 3) & 0x1FFFFFFF)
+        if not two_word:
+            return pad, self.word(pad)
+        # double-far: pad word 0 = far ptr (B=0) at the object; word 1 = tag
+        far2 = self.word(pad)
+        if far2 & 7 != 2:
+            raise ValueError("malformed double-far landing pad")
+        obj = _Loc((far2 >> 32) & 0xFFFFFFFF, (far2 >> 3) & 0x1FFFFFFF)
+        tag = self.word(_Loc(pad.seg, pad.word + 1))
+        # tag's offset is ignored; synthesize a pointer located just before
+        # the object so offset 0 resolves to it
+        synth = tag & 0xFFFFFFFF00000003  # keep kind + size bits, offset 0
+        return _Loc(obj.seg, obj.word - 1), synth
+
+    def struct_at(self, loc: _Loc) -> tuple[_Loc, int, int] | None:
+        ploc, ptr = self._resolve(loc)
+        if ptr == 0:
+            return None
+        if ptr & 3 != 0:
+            raise ValueError(f"expected struct pointer, got kind {ptr & 3}")
+        off = _sign30((ptr >> 2) & 0x3FFFFFFF)
+        data_words = (ptr >> 32) & 0xFFFF
+        ptr_words = (ptr >> 48) & 0xFFFF
+        return _Loc(ploc.seg, ploc.word + 1 + off), data_words, ptr_words
+
+    def list_at(self, loc: _Loc) -> tuple[_Loc, int, int] | None:
+        ploc, ptr = self._resolve(loc)
+        if ptr == 0:
+            return None
+        if ptr & 3 != 1:
+            raise ValueError(f"expected list pointer, got kind {ptr & 3}")
+        off = _sign30((ptr >> 2) & 0x3FFFFFFF)
+        elem_size = (ptr >> 32) & 7
+        count = (ptr >> 35) & 0x1FFFFFFF
+        return _Loc(ploc.seg, ploc.word + 1 + off), elem_size, count
+
+    def blob(self, loc: _Loc, is_text: bool) -> bytes | None:
+        lst = self.list_at(loc)
+        if lst is None:
+            return None
+        start, elem_size, count = lst
+        if elem_size != _SZ_BYTE:
+            raise ValueError("expected byte list")
+        seg = self.segs[start.seg]
+        raw = bytes(seg[start.word * _WORD : start.word * _WORD + count])
+        return raw[:-1] if (is_text and raw) else raw
+
+    def composite(self, loc: _Loc) -> tuple[list[_Loc], int, int]:
+        lst = self.list_at(loc)
+        if lst is None:
+            return [], 0, 0
+        start, elem_size, _total_words = lst
+        if elem_size != _SZ_COMPOSITE:
+            raise ValueError("expected composite list")
+        tag = self.word(start)
+        n = (tag >> 2) & 0x3FFFFFFF
+        data_words = (tag >> 32) & 0xFFFF
+        ptr_words = (tag >> 48) & 0xFFFF
+        stride = data_words + ptr_words
+        elems = [
+            _Loc(start.seg, start.word + 1 + i * stride) for i in range(n)
+        ]
+        return elems, data_words, ptr_words
+
+
+def _sign30(v: int) -> int:
+    return v - (1 << 30) if v & (1 << 29) else v
+
+
+def _data_u64(r: _Reader, base: _Loc, data_words: int, idx: int) -> int:
+    # capnp structs may be shorter than the schema (older writers): missing
+    # data reads as the default 0
+    if idx >= data_words:
+        return 0
+    return r.word(_Loc(base.seg, base.word + idx))
+
+
+def read_bsk_bytes(data: bytes) -> list[Sketch]:
+    """Parse finch `.bsk` bytes into Sketch records."""
+    r = _Reader(data)
+    root = r.struct_at(_Loc(0, 0))
+    if root is None:
+        return []
+    ms_base, ms_data, ms_ptrs = root
+    if ms_ptrs < 1:
+        return []
+    sketches_ptr = _Loc(ms_base.seg, ms_base.word + ms_data)
+    out: list[Sketch] = []
+    sk_elems, sk_data, _sk_ptrs = r.composite(sketches_ptr)
+    for sk_base in sk_elems:
+        seq_length = _data_u64(r, sk_base, sk_data, 0)
+        num_valid = _data_u64(r, sk_base, sk_data, 1)
+        p0 = _Loc(sk_base.seg, sk_base.word + sk_data)
+        name = (r.blob(p0, is_text=True) or b"").decode()
+        # p0+1 = comment (ignored), p0+2 = hashes, +3 filter, +4 sketch params
+        kcs, kc_data, kc_ptrs = r.composite(_Loc(p0.seg, p0.word + 2))
+        m = len(kcs)
+        hashes = np.empty(m, dtype=np.uint64)
+        counts = np.empty(m, dtype=np.int64)
+        extras = np.empty(m, dtype=np.int64)
+        kmers: list[bytes] = []
+        any_kmer = False
+        for j, kb in enumerate(kcs):
+            hashes[j] = _data_u64(r, kb, kc_data, 0)
+            w1 = _data_u64(r, kb, kc_data, 1)
+            counts[j] = w1 & 0xFFFFFFFF
+            extras[j] = (w1 >> 32) & 0xFFFFFFFF
+            kmer = b""
+            if kc_ptrs >= 1:
+                kmer = r.blob(_Loc(kb.seg, kb.word + kc_data), is_text=False) or b""
+            kmers.append(kmer)
+            any_kmer = any_kmer or bool(kmer)
+
+        fp = FilterParams()
+        st = r.struct_at(_Loc(p0.seg, p0.word + 3))
+        if st is not None:
+            fb, fd, _ = st
+            w0 = _data_u64(r, fb, fd, 0)
+            w1 = _data_u64(r, fb, fd, 1)
+            high = w1 & 0xFFFFFFFF
+            fp = FilterParams(
+                filter_on=bool(w0 & 1),
+                abun_filter_low=((w0 >> 32) & 0xFFFFFFFF) or None,
+                abun_filter_high=None if high == 0xFFFFFFFF else high,
+                err_filter=_f64(_data_u64(r, fb, fd, 2)),
+                strand_filter=_f64(_data_u64(r, fb, fd, 3)),
+            )
+
+        params = SketchParams()
+        st = r.struct_at(_Loc(p0.seg, p0.word + 4))
+        if st is not None:
+            pb, pd, _ = st
+            w0 = _data_u64(r, pb, pd, 0)
+            method = w0 & 0xFFFF
+            params = SketchParams(
+                sketch_type={0: "mash", 1: "scaled", 2: "allcounts"}.get(
+                    method, "mash"
+                ),
+                kmer_length=(w0 >> 16) & 0xFF,
+                no_strict=bool((w0 >> 24) & 1),
+                kmers_to_sketch=_data_u64(r, pb, pd, 1),
+                hash_seed=_data_u64(r, pb, pd, 2),
+                final_size=_data_u64(r, pb, pd, 3),
+                scale=_f64(_data_u64(r, pb, pd, 4)) or 0.001,
+            )
+
+        sk = Sketch(
+            name,
+            KmerCounts(hashes, counts, extras, kmers if any_kmer else None),
+            params,
+            seq_length=seq_length,
+            num_valid_kmers=num_valid,
+        )
+        sk.filter_params = fp  # carried for round-trip fidelity
+        out.append(sk)
+    return out
+
+
+def _f64(bits: int) -> float:
+    return _struct.unpack("<d", _struct.pack("<Q", bits))[0]
+
+
+def write_bsk(path: str, sketches: list[Sketch]) -> None:
+    with open(path, "wb") as f:
+        f.write(write_bsk_bytes(sketches))
+
+
+def read_bsk(path: str) -> list[Sketch]:
+    with open(path, "rb") as f:
+        return read_bsk_bytes(f.read())
+
+
+# --------------------------------------------------------------------------
+# Spark surface: sharded .bsk export / import for signature tables
+# --------------------------------------------------------------------------
+
+
+def write_bsk_shards(
+    signatures,
+    out_dir: str,
+    params: SketchParams,
+    key_col: str = "doc_id",
+) -> int:
+    """Signature DataFrame → one `.bsk` file per partition under `out_dir`
+    (the distributed analogue of finch's single-file multisketch: a real
+    finch CLI can read each shard). Returns the number of shards written.
+
+    Executor-side pure-Python encode per partition — no driver collect; at
+    scale, repartition upstream to size the shards.
+    """
+    import os
+
+    from ..kernels import i64_to_u64_shifted
+
+    os.makedirs(out_dir, exist_ok=True)
+    sel = signatures.select(key_col, "hashes", "counts", "n_bytes", "n_kmers")
+
+    def _write_partition(it):
+        import numpy as _np
+
+        rows = list(it)
+        if not rows:
+            return iter([])
+        sks = []
+        for r in rows:
+            h = i64_to_u64_shifted(_np.asarray(r["hashes"], dtype=_np.int64))
+            c = _np.asarray(r["counts"], dtype=_np.int64)
+            sks.append(
+                Sketch(
+                    str(r[key_col]),
+                    KmerCounts(h, c, _np.zeros(len(c), dtype=_np.int64)),
+                    params,
+                    seq_length=int(r["n_bytes"]),
+                    num_valid_kmers=int(r["n_kmers"]),
+                )
+            )
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        write_bsk(os.path.join(out_dir, f"part-{pid:05d}.bsk"), sks)
+        return iter([pid])
+
+    return len(sel.rdd.mapPartitions(_write_partition).collect())
+
+
+def read_bsk_dir(spark, path: str):
+    """Directory (or glob) of `.bsk` files → signatures-shaped DataFrame
+    (doc_id from sketch name, hashes as sign-flipped i64, counts, n_bytes,
+    n_kmers, n_unique). Uses the binaryFile source so decode runs on
+    executors, one task per file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..kernels import u64_to_i64_shifted
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_kmers", T.LongType()),
+            T.StructField("n_unique", T.LongType()),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for sk in read_bsk_bytes(bytes(blob)):
+                    rows.append(
+                        {
+                            "doc_id": sk.name,
+                            "hashes": u64_to_i64_shifted(sk.hashes.hashes).tolist(),
+                            "counts": sk.hashes.counts.tolist(),
+                            "n_bytes": sk.seq_length,
+                            "n_kmers": sk.num_valid_kmers,
+                            "n_unique": len(sk.hashes),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return files.mapInPandas(decode, schema)
