@@ -232,8 +232,12 @@ def _q_cc_chain(spark, sf):
     e = _ngram_pairs(spark, sf).filter(
         (F.col("key_b") == F.col("key_a") + 1) & (F.col("jaccard") >= JACC_T)
     )
+    # small_graph_threshold=0 pins the DISTRIBUTED star-rounds path so the
+    # iterative operator itself stays value-checked (the auto single-task
+    # path is value-checked by cc_neardup_full)
     return connected_components(
-        e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst")),
+        small_graph_threshold=0,
     )
 
 
@@ -310,8 +314,10 @@ def _q_cc_exact(spark, sf):
     from finchspark.operators.cc import connected_components
 
     e = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    # star path pinned here too (see _q_cc_chain)
     return connected_components(
-        e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst")),
+        small_graph_threshold=0,
     )
 
 

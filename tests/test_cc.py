@@ -14,7 +14,7 @@ def test_cc_random_graph(spark, n, m, seed):
     df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, small_graph_threshold=0).collect()
     }
     expect = union_find_components(n, edges)
     # restrict to nodes that appear in edges (isolated nodes never enter CC)
@@ -31,7 +31,10 @@ def test_cc_chain_and_star(spark):
     # a long chain (worst case for label propagation; log rounds for star alg)
     chain = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(chain, "src long, dst long")
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == 64
 
@@ -47,7 +50,8 @@ def test_cc_salting_and_check_interval_equivalence(spark, salt_buckets, check_ev
     got = {
         r["node"]: r["component"]
         for r in connected_components(
-            df, salt_buckets=salt_buckets, check_every=check_every
+            df, salt_buckets=salt_buckets, check_every=check_every,
+            small_graph_threshold=0
         ).collect()
     }
     expect = union_find_components(200, edges)
@@ -93,3 +97,45 @@ def test_cc_durable_checkpoint_writes_only_check_rounds(spark, tmp_path):
     # check rounds only: iterations 2, 5, 8... for check_every=3)
     it = int(remaining[0].name.split("_")[-1])
     assert (it + 1) % 3 == 0 or it == -1
+
+
+def test_cc_numpy_labels_vs_union_find():
+    import random
+
+    import numpy as np
+
+    from finchspark.operators.cc import cc_labels_numpy
+
+    for n, m, seed in [(50, 30, 1), (300, 500, 2), (64, 63, 3)]:
+        rng = random.Random(seed)
+        if seed == 3:
+            edges = [(i, i + 1) for i in range(63)]  # worst-case chain
+        else:
+            edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        src = np.array([a for a, _ in edges])
+        dst = np.array([b for _, b in edges])
+        nodes, comp = cc_labels_numpy(src, dst)
+        expect = union_find_components(n, edges)
+        got = dict(zip(nodes.tolist(), comp.tolist()))
+        for u in got:
+            assert got[u] == expect[u], (u, got[u], expect[u])
+
+
+def test_cc_small_graph_path_equals_star_path(spark):
+    import random
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert fast == star
+    # the fast-path plan is a single stage: no star-round joins
+    plan = connected_components(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
