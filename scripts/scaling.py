@@ -58,6 +58,7 @@ def main() -> None:
     hi = min(highs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / 4.0
+    stage_keys = ("signatures", "lsh_verify", "connected_components")
     print(
         json.dumps(
             {
@@ -68,6 +69,8 @@ def main() -> None:
                 "sec_high": t_hi,
                 "sec_low_all": [r["value"] for r in lows],
                 "sec_high_all": [r["value"] for r in highs],
+                "stages_low": {k: lo["queries"][k] for k in stage_keys},
+                "stages_high": {k: hi["queries"][k] for k in stage_keys},
                 "files_per_sec_low": lo["queries"]["files_per_sec"],
                 "files_per_sec_high": hi["queries"]["files_per_sec"],
                 "scaling_efficiency": round(eff, 3),
