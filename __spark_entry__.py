@@ -27,6 +27,7 @@ MAX_DIST = 0.015
 CONT_T = 0.6
 ABUN_LO, ABUN_HI = 2, 5
 ANN_K, ANN_MOD = 5, 50
+COS_T = 0.45  # embedding near-dup threshold (driver data max cosine ~0.513)
 
 
 def _cfg():
@@ -480,6 +481,24 @@ def _q_span_dedup(spark, sf):
     )
 
 
+def _q_bpe_token_stats(spark, sf):
+    from finchspark.operators.textops import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf))
+
+
+def _q_cosine_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs (dedup-family form): sign-LSH buckets
+    + exact rerank; at (3 bits, 32 tables) measured recall on the driver
+    embeddings is 1.0 (deterministic hyperplanes from murmur3), so the exact
+    all-pairs SQL is a valid value oracle — a recall regression drops rows
+    and fails the hash."""
+    from finchspark.operators.ann import cosine_dup_pairs
+
+    out = cosine_dup_pairs(_embeddings(spark, sf), threshold=COS_T)
+    return out.select("key_a", "key_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_cosine_topk(spark, sf):
     from finchspark.operators.ann import cosine_topk
 
@@ -542,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_signatures": _q_merged_signatures,
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
     }
@@ -891,6 +912,23 @@ d as (
 -- sets|); sources whose docs have no grams at all never reach the merge
 select u.source, u.n_members, least({SKETCH_SIZE}, d.nd) as sig_size
 from u join d using (source)
+""",
+        "bpe_token_stats": """
+select doc_id,
+  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+')) as n_tokens_bpe,
+  len(regexp_extract_all(text, ' ?[A-Za-z]+')) as n_word_tokens,
+  len(regexp_extract_all(text, ' ?[0-9]+')) as n_num_tokens,
+  len(regexp_extract_all(text, ' ?[^A-Za-z0-9 \t\n\r\f]+')) as n_punct_tokens,
+  round(case when len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+')) > 0
+        then length(text) / cast(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+')) as double)
+        else 0.0 end, 9) as chars_per_token
+from documents
+""",
+        "cosine_dup_pairs": f"""
+select a.vec_id as key_a, b.vec_id as key_b,
+       round({dot} / ({norm_a} * {norm_b}), 6) as cosine
+from embeddings a join embeddings b on b.vec_id > a.vec_id
+where {dot} / ({norm_a} * {norm_b}) >= {COS_T}
 """,
         "cosine_topk": f"""
 with q as (select * from embeddings where vec_id % {ANN_MOD} = 0),

@@ -89,34 +89,24 @@ def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 0) -> np.ndarray
     return (h.view(np.int64).astype(np.float64) / 2**63).reshape(n_bits, dim)
 
 
-def cosine_topk_lsh(
+
+def _bucketize(
     embeddings: DataFrame,
-    k: int = 5,
-    query_mod: int = 100,
-    n_bits: int = 12,
-    n_tables: int = 4,
-    key: str = "vec_id",
-    vec: str = "embedding",
-    seed: int = 0,
+    n_bits: int,
+    n_tables: int,
+    key: str,
+    vec: str,
+    seed: int,
+    dim: int,
 ) -> DataFrame:
-    """Approximate top-k cosine via sign-LSH buckets.
-
-    Each vector gets one bucket id per table (sign bits of `n_bits`
-    hyperplane projections); query/ref pairs sharing a (table, bucket) are
-    exactly reranked. Output schema matches `cosine_topk` (rank may be
-    < k when buckets recall fewer neighbors)."""
-    first = embeddings.select(F.size(vec).alias("d")).first()
-    if first is None:
-        return cosine_topk(embeddings.limit(0), k, query_mod, key, vec)
-    dim = first["d"]
-
-    # all tables' sign bits in ONE numpy matmul per Arrow batch (a literal
-    # expression tree of n_tables*n_bits*dim constants chokes Catalyst
-    # analysis; measured seconds of planning time at 64 hyperplanes)
+    """(key, table_id, bucket) — all tables' sign bits in ONE numpy matmul
+    per Arrow batch (a literal expression tree of n_tables*n_bits*dim
+    constants chokes Catalyst analysis; measured seconds of planning time
+    at 64 hyperplanes)."""
     planes = np.concatenate(
         [_hyperplanes(dim, n_bits, t, seed) for t in range(n_tables)], axis=0
     ).T  # (dim, n_tables * n_bits)
-    powers = (1 << np.arange(n_bits, dtype=np.int64))
+    powers = 1 << np.arange(n_bits, dtype=np.int64)
 
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -155,9 +145,33 @@ def cosine_topk_lsh(
             )
 
     bucketed = embeddings.select(key, vec).mapInArrow(compute, out_schema)
-    tagged = bucketed.select(
+    return bucketed.select(
         F.col(key), F.posexplode("buckets").alias("table_id", "bucket")
     )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k cosine via sign-LSH buckets.
+
+    Each vector gets one bucket id per table (sign bits of `n_bits`
+    hyperplane projections); query/ref pairs sharing a (table, bucket) are
+    exactly reranked. Output schema matches `cosine_topk` (rank may be
+    < k when buckets recall fewer neighbors)."""
+    first = embeddings.select(F.size(vec).alias("d")).first()
+    if first is None:
+        return cosine_topk(embeddings.limit(0), k, query_mod, key, vec)
+    dim = first["d"]
+
+    tagged = _bucketize(embeddings, n_bits, n_tables, key, vec, seed, dim)
     q = tagged.filter((F.col(key) % query_mod) == 0).select(
         F.col(key).alias("query_id"), "table_id", "bucket"
     )
@@ -186,4 +200,65 @@ def cosine_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bits: int = 3,
+    n_tables: int = 32,
+    bucket_cap: int = 2000,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (key_a < key_b) with
+    cosine >= threshold — the dedup-family member over embeddings (vs the
+    top-k search form above).
+
+    Scale shape mirrors the MinHash LSH stage: sign-LSH buckets per table,
+    ONE shuffle per candidate stage (window count over the join partitioning
+    sizes each (table, bucket) in the same exchange the alias self-join
+    reuses), mega-buckets capped at `bucket_cap`, exact rerank only on
+    candidates, never the n^2 cross product. Defaults (3 bits, 32 tables)
+    make a missed pair at cosine 0.45 ~1e-4 likely per pair and measured
+    recall 1.0 on the driver data — tune bits up for higher thresholds.
+    """
+    first = embeddings.select(F.size(vec).alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"key_a long, key_b long, cosine double"
+        )
+    dim = first["d"]
+    tagged = _bucketize(embeddings, n_bits, n_tables, key, vec, seed, dim)
+    w = Window.partitionBy("table_id", "bucket")
+    sized = tagged.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    member = sized.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
+    ).select("table_id", "bucket", key)
+    a, b = member.alias("a"), member.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b")
+        )
+        .distinct()
+    )
+    av = embeddings.select(F.col(key).alias("key_a"), F.col(vec).alias("qv"))
+    bv = embeddings.select(F.col(key).alias("key_b"), F.col(vec).alias("rv"))
+    return (
+        cand.join(av, "key_a")
+        .join(bv, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (_dot("qv", "rv") / (_norm("qv") * _norm("rv"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= float(threshold))
     )

@@ -170,3 +170,35 @@ def token_abundance_filter(
     toks = docs.select(F.col(key), F.explode(_tokens(text)).alias("token"))
     depth = toks.groupBy(key, "token").agg(F.count(F.lit(1)).alias("depth"))
     return depth.filter((F.col("depth") >= low) & (F.col("depth") <= high))
+
+
+# BPE-ish tokenizer pattern (GPT-2-style segmentation simplified to ASCII
+# classes, no lookahead so Java regex and RE2/DuckDB agree): a token is an
+# optional leading space + a letter run, + a digit run, + a symbol run, or a
+# bare whitespace run. Disjoint classes make alternative order immaterial.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Token counting the way a BPE pre-tokenizer segments text — the
+    training-data budget estimator (whitespace token counts undercount
+    punctuation-heavy text). Pure codegen: regexp_count per class.
+
+    Output: (key, n_tokens_bpe, n_word_tokens, n_num_tokens, n_punct_tokens,
+    chars_per_token)."""
+    total = F.expr(f"regexp_count({text}, '{BPE_TOKEN_RE}')")
+    words = F.expr(f"regexp_count({text}, ' ?[A-Za-z]+')")
+    nums = F.expr(f"regexp_count({text}, ' ?[0-9]+')")
+    punct = F.expr(f"regexp_count({text}, ' ?[^A-Za-z0-9 \\t\\n\\r\\f]+')")
+    return docs.select(
+        F.col(key),
+        total.alias("n_tokens_bpe"),
+        words.alias("n_word_tokens"),
+        nums.alias("n_num_tokens"),
+        punct.alias("n_punct_tokens"),
+        F.round(
+            F.when(total > 0, F.length(text) / total).otherwise(F.lit(0.0)), 9
+        ).alias("chars_per_token"),
+    )

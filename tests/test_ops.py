@@ -303,3 +303,66 @@ def test_exact_dup_pairs_group_expansion(spark):
         for r in exact_dup_pairs(docs, max_group=3).collect()
     }
     assert capped == {(1, 3), (1, 5), (1, 7), (10, 11)}
+
+
+def test_cosine_dup_pairs_vs_brute_force(spark):
+    """cosine_dup_pairs == brute-force all-pairs at the query config (3 bits,
+    32 tables keeps P(miss) ~1e-4 per qualifying pair at cos 0.45)."""
+    from finchspark.operators.ann import cosine_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 16))
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        # planted near-dup: small perturbation -> cosine close to 1
+        rows.append((vid, [float(x) for x in v + rng.normal(scale=0.05, size=16)])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in cosine_dup_pairs(emb, threshold=0.8).collect()
+    }
+    mat = np.array([r[1] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    want = {
+        (rows[i][0], rows[j][0])
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if cos[i, j] >= 0.8
+    }
+    assert want, "fixture must plant qualifying pairs"
+    assert got == want
+
+
+def test_cosine_dup_pairs_bucket_cap_bounds_candidates(spark):
+    """Mega-bucket (all-identical vectors) above bucket_cap is dropped from
+    pair generation — no O(n^2) blowup from a single degenerate bucket."""
+    from finchspark.operators.ann import cosine_dup_pairs
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_dup_pairs(emb, threshold=0.9, bucket_cap=10)
+    assert out.count() == 0  # every bucket holds all 50 -> capped out
+
+
+def test_bpe_token_stats_known_strings(spark):
+    from finchspark.operators.textops import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),        # 2 word tokens
+            (1, "a1b2"),               # a,1,b,2 -> 2 words + 2 nums
+            (2, "x -- y!!"),           # words x,y + punct --, !!
+            (3, ""),                   # empty -> all zero, cpt 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in bpe_token_stats(docs).collect()}
+    assert got[0]["n_word_tokens"] == 2 and got[0]["n_tokens_bpe"] == 2
+    assert got[1]["n_word_tokens"] == 2 and got[1]["n_num_tokens"] == 2
+    assert got[2]["n_word_tokens"] == 2 and got[2]["n_punct_tokens"] == 2
+    assert got[3]["n_tokens_bpe"] == 0 and got[3]["chars_per_token"] == 0.0
+    assert got[0]["chars_per_token"] == round(11 / 2, 9)
