@@ -254,6 +254,35 @@ def _q_minhash_signatures(spark, sf):
     )
 
 
+def _q_scaled_signatures(spark, sf):
+    """A2 (scaled MinHash, `sketch_schemes/scaled.rs`) through the Spark
+    surface, value-exact at scale=1.0: max_hash == u64::MAX keeps EVERY
+    distinct k-gram, so sig_size == n_unique == |distinct 21-grams| and the
+    retained counts sum back to the total k-mer count — both SQL-expressible.
+    Real scales (<1) are murmur-bound and stay on the golden/hypothesis
+    tests (kernels/sketch.py segment_scaled goldens x3)."""
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.operators.signature import build_signatures
+
+    key = f"scaled:{sf}"
+    if key not in _SIG_CACHE:
+        cfg = PipelineConfig(
+            sketch=SketchParams(sketch_type="scaled", scale=1.0, kmer_length=K)
+        )
+        _SIG_CACHE[key] = build_signatures(
+            _docs(spark, sf), cfg, key_cols=("doc_id",), content_col="text"
+        ).persist()
+    return _SIG_CACHE[key].select(
+        "doc_id",
+        F.size("hashes").alias("sig_size"),
+        "n_unique",
+        F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "count_sum"
+        ),
+    )
+
+
 def _q_signature_diagnostics(spark, sf):
     """Murmur-dependent diagnostics (no SQL twin): simhash bit pattern +
     mean retained-shingle depth (G3 mean)."""
@@ -544,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_chain": _q_cc_chain,
         "signature_stats": _q_signature_stats,
         "minhash_signatures": _q_minhash_signatures,
+        "scaled_signatures": _q_scaled_signatures,
         "signature_diagnostics": _q_signature_diagnostics,
         "depth_histogram": _q_depth_histogram,
         "depth_histogram_full": _q_depth_histogram_full,
@@ -798,6 +828,13 @@ select doc_id,
   octet_length(encode(text)) as n_bytes,
   greatest(octet_length(encode(text)) - {K - 1}, 0) as n_kmers,
   sha256(text) as sha256
+from documents
+""",
+        "scaled_signatures": f"""
+select doc_id,
+  len({_KGRAMS}) as sig_size,
+  len({_KGRAMS}) as n_unique,
+  cast(greatest(octet_length(encode(text)) - {K - 1}, 0) as bigint) as count_sum
 from documents
 """,
         "minhash_signatures": f"""

@@ -82,6 +82,20 @@ def main() -> None:
     ).first()["b"]
     timings: dict[str, float] = {}
 
+    # Warm the Python worker pool before timing: each (core, task) worker
+    # pays import + allocator high-water faults exactly once per JOB LIFETIME
+    # (spark.python.worker.reuse), so on a long-running cluster that cost is
+    # noise, but on a seconds-scale bench it dominates the first stage and
+    # hides the steady-state rate the north rule asks about. A tiny
+    # signature job over ~cpus batches forces every worker slot through
+    # import+first-batch; SPARK_GRAFT_NO_WARMUP=1 restores cold-start
+    # numbers.
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+        warm = docs.limit(64 * cpus).repartition(cpus)
+        build_signatures(
+            warm, cfg, key_cols=("doc_id",), content_col=content_col
+        ).count()
+
     t_start = time.perf_counter()
 
     no_write = os.environ.get("SPARK_GRAFT_NO_WRITE") == "1"

@@ -4,6 +4,12 @@ Everything here is importable and testable without a SparkSession; the Spark
 operators in `finchspark.operators` call these inside Arrow-batched UDFs.
 """
 
+from .memtune import tune as _malloc_tune
+
+# once per process (incl. each forked Spark Python worker): large-block
+# reuse across Arrow batches — see memtune.py for the measured effect
+_malloc_tune()
+
 from .murmur3 import (
     U64_MAX,
     hash_one,
