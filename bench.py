@@ -91,7 +91,10 @@ def main() -> None:
     # import+first-batch; SPARK_GRAFT_NO_WARMUP=1 restores cold-start
     # numbers.
     if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
-        warm = docs.limit(64 * cpus).repartition(cpus)
+        # enough rows that every worker slot processes a full-size sub-batch
+        # (MAX_CHUNK_BYTES) and reaches its allocator high-water mark — a
+        # 64-row warmup leaves the first real batches paying the faults
+        warm = docs.limit(4096 * cpus).repartition(cpus)
         build_signatures(
             warm, cfg, key_cols=("doc_id",), content_col=content_col
         ).count()
