@@ -77,6 +77,47 @@ def candidate_pairs(
     return pairs, overflow
 
 
+def candidate_pairs_incremental(
+    new_signatures: DataFrame,
+    all_signatures: DataFrame,
+    lsh: LshConfig,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Candidates touching at least one NEW document: bands of the new batch
+    joined against bands of the full store (old ∪ new).
+
+    The incremental-dedup invariant: a pair is generated exactly once over a
+    document's lifetime — when its LATER member first arrives — because
+    old×old pairs were produced by earlier batches and never rejoin here.
+    Both-new pairs appear from both direction-orderings of the asymmetric
+    join, so pairs are min/max-normalized before the distinct.
+
+    Scale shape: the store side is the big side — its exploded bands are
+    window-counted and capped exactly like the batch stage (skew safety
+    holds as the store grows); the new side is a micro-batch and stays
+    small, so the join is effectively a semi-probe of the store's buckets.
+    Output: (key_a, key_b) distinct, key_a < key_b."""
+    new_bands = explode_bands(new_signatures, key_col).select(
+        "band_id", "band_hash", F.col(key_col).alias("nk")
+    )
+    store = explode_bands(all_signatures, key_col)
+    w = Window.partitionBy("band_id", "band_hash")
+    member = (
+        store.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_size") <= lsh.bucket_cap)
+        .select("band_id", "band_hash", F.col(key_col).alias("sk"))
+    )
+    return (
+        new_bands.join(member, ["band_id", "band_hash"])
+        .filter(F.col("nk") != F.col("sk"))
+        .select(
+            F.least("nk", "sk").alias("key_a"),
+            F.greatest("nk", "sk").alias("key_b"),
+        )
+        .distinct()
+    )
+
+
 def exact_dup_pairs_sha(
     signatures: DataFrame, key_col: str = "doc_id"
 ) -> DataFrame:

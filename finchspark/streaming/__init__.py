@@ -2,16 +2,26 @@
 
 The reference has NO event-time streaming operators: its "streaming" is a
 one-pass bounded-memory implementation of a batch semantic (size-(k+1) heap,
-`lib/src/sketch_schemes/mash.rs:23`). This engine is therefore batch with
-checkpoint/resume (`finchspark.plans.checkpoint`), which is the north-rule's
-resumability requirement.
+`lib/src/sketch_schemes/mash.rs:23`). This engine is therefore batch-first
+with checkpoint/resume (`finchspark.plans.checkpoint`), which is the
+north-rule's resumability requirement.
 
-Incremental ingest is nevertheless structurally supported: the signature
-stage is per-row (no cross-row state), so a Structured Streaming deployment
-is `spark.readStream` → `build_signatures` → `foreachBatch` append to the
-signatures table, with candidate generation + clustering run as periodic
-batch compactions over the growing table. A continuously-maintained
-clustering (streaming CC) requires `applyInPandasWithState` over band keys
-and is future work — documented, not shipped, because the reference defines
-no semantics to match for it.
+Two incremental deployments ARE shipped on Structured Streaming, both
+reusing the exact batch operators inside `foreachBatch` (one code path,
+one semantics):
+
+- `ingest.signatures_stream` — sketch new documents per micro-batch and
+  append to the signature store; restart resumes from the streaming
+  checkpoint without re-sketching.
+- `neardup.neardup_stream` — the full incremental dedup loop: new docs are
+  sketched, banded, and probed against the accumulated store, emitting each
+  verified near-dup pair exactly once (when its later member arrives).
+  Equivalence with the batch LSH→verify stage for any micro-batch split is
+  property-tested.
+
+A continuously-maintained clustering (streaming CC via
+`applyInPandasWithState`) remains future work: the reference defines no
+semantics to match for it, and the shipped periodic batch compaction
+(`operators.cc.connected_components` over the pairs table) covers the
+north-rule use.
 """

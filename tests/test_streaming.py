@@ -54,3 +54,122 @@ def test_stream_matches_batch_and_resumes(spark, cfg, tmp_path):
     assert after.count() == len(first) + len(second)  # no duplicates
     ids = {r["doc_id"] for r in after.select("doc_id").collect()}
     assert ids == {i for i, _ in first} | {i for i, _ in second}
+
+
+def test_neardup_stream_matches_batch_lsh_stage(spark, cfg, tmp_path):
+    """Streaming incremental near-dup over ANY micro-batch split == the
+    batch LSH->verify pair set on the full corpus, with no duplicate pairs
+    across epochs."""
+    from pyspark.sql import functions as F
+
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.verify import verify_pairs
+    from finchspark.sources.synth import synth_documents
+    from finchspark.streaming.neardup import neardup_stream
+
+    docs, _ = synth_documents(n_base=36)
+    rows = [(d["doc_id"], d["content"]) for d in docs]
+
+    src = tmp_path / "incoming"
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    # three uneven micro-batches (each its own file + maxFilesPerTrigger=1)
+    for chunk in (rows[:11], rows[11:40], rows[40:]):
+        _docs(spark, chunk).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = neardup_stream(stream, cfg, store, pairs_out, ckpt)
+    q.awaitTermination(240)
+
+    got_rows = spark.read.parquet(pairs_out).collect()
+    got = {(r["key_a"], r["key_b"]) for r in got_rows}
+    assert len(got) == len(got_rows), "a pair was emitted by two epochs"
+    assert {r["epoch_id"] for r in got_rows} != {0}, "expected >1 micro-batch"
+
+    sigs = build_signatures(_docs(spark, rows), cfg, key_cols=("doc_id",))
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    want_rows = verify_pairs(cands, sigs, cfg, key_col="doc_id").filter(
+        F.col("jaccard") >= cfg.jaccard_threshold
+    )
+    want = {(r["key_a"], r["key_b"]) for r in want_rows.collect()}
+    assert want, "fixture must plant near-dup pairs"
+    assert got == want
+
+    # store holds each signature exactly once
+    assert spark.read.parquet(store).count() == len(rows)
+
+
+def test_neardup_stream_resumes_without_duplicate_pairs(spark, cfg, tmp_path):
+    """Stop after the first micro-batch, add files, restart on the same
+    checkpoint: old docs are not re-sketched and no pair is re-emitted."""
+    from pyspark.sql import functions as F
+
+    from finchspark.sources.synth import synth_documents
+    from finchspark.streaming.neardup import neardup_stream
+
+    docs, _ = synth_documents(n_base=24)
+    rows = [(d["doc_id"], d["content"]) for d in docs]
+    src = tmp_path / "incoming"
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "doc_id long, content string"
+
+    _docs(spark, rows[:15]).coalesce(1).write.mode("append").parquet(str(src))
+    q = neardup_stream(
+        spark.readStream.schema(schema).parquet(str(src)), cfg, store,
+        pairs_out, ckpt,
+    )
+    q.awaitTermination(240)
+    n_store_1 = spark.read.parquet(store).count()
+    assert n_store_1 == 15
+
+    _docs(spark, rows[15:]).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = neardup_stream(
+        spark.readStream.schema(schema).parquet(str(src)), cfg, store,
+        pairs_out, ckpt,
+    )
+    q2.awaitTermination(240)
+
+    assert spark.read.parquet(store).count() == len(rows)  # no re-sketch
+    got_rows = spark.read.parquet(pairs_out).collect()
+    got = {(r["key_a"], r["key_b"]) for r in got_rows}
+    assert len(got) == len(got_rows)  # no duplicate pair across the restart
+    # every planted cross-boundary pair was caught by the second run
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.verify import verify_pairs
+
+    sigs = build_signatures(_docs(spark, rows), cfg, key_cols=("doc_id",))
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    want = {
+        (r["key_a"], r["key_b"])
+        for r in verify_pairs(cands, sigs, cfg, key_col="doc_id")
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        .collect()
+    }
+    assert got == want
+
+
+def test_candidate_pairs_incremental_caps_store_buckets(spark, cfg):
+    """A store-side mega-bucket above lsh.bucket_cap is excluded from the
+    incremental probe (same skew discipline as the batch stage)."""
+    from dataclasses import replace
+
+    from finchspark.config import LshConfig
+    from finchspark.operators.lsh import candidate_pairs_incremental
+
+    body = "shared license header boilerplate text " * 8
+    rows = [(i, body) for i in range(12)]  # identical -> one mega bucket
+    sigs = build_signatures(_docs(spark, rows), cfg, key_cols=("doc_id",))
+    new = sigs.filter("doc_id = 0")
+    capped = replace(cfg, lsh=LshConfig(bucket_cap=4))
+    assert candidate_pairs_incremental(new, sigs, capped.lsh).count() == 0
+    uncapped = candidate_pairs_incremental(new, sigs, cfg.lsh)
+    assert uncapped.count() == 11  # doc 0 paired with every other member
