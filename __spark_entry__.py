@@ -554,6 +554,23 @@ def _q_ann_lsh(spark, sf):
     )
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN through the Spark surface, value-exact: with
+    nprobe == n_centroids every inverted list is probed, so the search is
+    exhaustive BY CONSTRUCTION (not by measured recall) and equals the exact
+    ranking SQL — what the oracle checks is the IVF machinery itself
+    (deterministic k-means, list assignment, probe join, rerank fold).
+    Pruned-nprobe recall is gated in tests (`test_cosine_topk_ivf_*`)."""
+    from finchspark.operators.ann import cosine_topk_ivf
+
+    out = cosine_topk_ivf(
+        _embeddings(spark, sf), k=ANN_K, query_mod=ANN_MOD, n_centroids=8, nprobe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -595,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -987,6 +1005,22 @@ from ranked where rank <= {ANN_K}
 -- exact ranking as the oracle: sign-LSH recall@k = 1.0 at (4 bits, 32
 -- tables) on the driver embeddings (measured, deterministic) — a recall
 -- regression surfaces as missing/reordered rows
+with q as (select * from embeddings where vec_id % {ANN_MOD} = 0),
+scored as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+         {dot} / ({norm_a} * {norm_b}) as cosine
+  from q a join embeddings b on a.vec_id != b.vec_id
+),
+ranked as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, rank from ranked where rank <= {ANN_K}
+""",
+        "ann_ivf": f"""
+-- exhaustive-by-construction: nprobe == n_centroids searches every list,
+-- so exact ranking is the oracle with NO recall assumption
 with q as (select * from embeddings where vec_id % {ANN_MOD} = 0),
 scored as (
   select a.vec_id as query_id, b.vec_id as neighbor_id,

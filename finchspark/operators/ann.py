@@ -262,3 +262,153 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cosine") >= float(threshold))
     )
+
+
+def _spherical_kmeans(
+    vectors: np.ndarray, n_centroids: int, n_iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means (no RNG): init = evenly strided
+    sample rows; Lloyd iterations with cosine assignment (argmax dot over
+    L2-normalized data); empty clusters reseeded from the vector farthest
+    from its centroid. Returns (n_centroids, dim) L2-normalized."""
+    v = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    n = len(v)
+    n_centroids = min(n_centroids, n)
+    c = v[np.linspace(0, n - 1, n_centroids).astype(np.int64)].copy()
+    for _ in range(n_iters):
+        sims = v @ c.T  # (n, k)
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(n), assign]
+        for j in range(n_centroids):
+            members = v[assign == j]
+            if len(members) == 0:
+                c[j] = v[best.argmin()]  # farthest-from-fit vector reseeds
+                best[best.argmin()] = 1.0
+                continue
+            m = members.sum(axis=0)
+            norm = np.linalg.norm(m)
+            if norm > 1e-12:
+                c[j] = m / norm
+    return c
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 10,
+    max_train_sample: int = 65536,
+    train_mod: int = 1,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via an IVF (inverted-file) coarse quantizer
+    — the centroid-partitioned counterpart of `cosine_topk_lsh`.
+
+    Train: deterministic spherical k-means over a bounded driver-side
+    sample ({key % train_mod == 0}, capped at `max_train_sample` rows by
+    ascending key) — the centroid matrix is a small model (n_centroids ×
+    dim floats), broadcast into the assignment kernel like any ML model.
+    Assign: every vector gets its nearest-centroid `list_id` with ONE numpy
+    matmul per Arrow batch; queries additionally get their `nprobe` nearest
+    list ids. Search: candidates = vectors in any probed list (one
+    equi-join shuffle on list_id, never the cross product), exactly
+    reranked with the same float64 fold as `cosine_topk`.
+
+    `nprobe >= n_centroids` probes every list — exhaustive search through
+    the IVF machinery, equal to `cosine_topk` by construction (the driver
+    oracle pins this); smaller nprobe trades recall for a ~nprobe/n_centroids
+    candidate fraction (recall gated in tests). Output schema matches
+    `cosine_topk`; rank may be < k when probed lists recall fewer
+    neighbors."""
+    first = embeddings.select(F.size(vec).alias("d")).first()
+    if first is None:
+        return cosine_topk(embeddings.limit(0), k, query_mod, key, vec)
+    dim = first["d"]
+
+    train = (
+        embeddings.filter((F.col(key) % train_mod) == 0)
+        .select(key, vec)
+        .orderBy(key)
+        .limit(max_train_sample)
+        .collect()
+    )
+    cents = _spherical_kmeans(
+        np.array([r[1] for r in train], dtype=np.float64), n_centroids, n_iters
+    )
+    nprobe = min(nprobe, len(cents))
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("probes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def assign(batches):
+        ct = cents.T  # (dim, n_centroids)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keys = batch.column(0)
+            mat = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ ct
+            # top-nprobe lists per row, ordered best-first (deterministic:
+            # argsort on (-sim, list_id) via stable sort of negated sims)
+            order = np.argsort(-sims, axis=1, kind="stable")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keys,
+                    pa.array(order[:, 0].astype(np.int32), pa.int32()),
+                    pa.array(
+                        list(order[:, :nprobe].astype(np.int32)),
+                        pa.list_(pa.int32()),
+                    ),
+                ],
+                schema=pa.schema(
+                    [
+                        (key, pa.int64()),
+                        ("list_id", pa.int32()),
+                        ("probes", pa.list_(pa.int32())),
+                    ]
+                ),
+            )
+
+    tagged = embeddings.select(key, vec).mapInArrow(assign, out_schema)
+    q = (
+        tagged.filter((F.col(key) % query_mod) == 0)
+        .select(F.col(key).alias("query_id"), F.explode("probes").alias("list_id"))
+    )
+    r = tagged.select(F.col(key).alias("neighbor_id"), "list_id")
+    cand = (
+        q.join(r, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = embeddings.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
+    rv = embeddings.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("rv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(rv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qv", "rv") / (_norm("qv") * _norm("rv"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

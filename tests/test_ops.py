@@ -366,3 +366,47 @@ def test_bpe_token_stats_known_strings(spark):
     assert got[2]["n_word_tokens"] == 2 and got[2]["n_punct_tokens"] == 2
     assert got[3]["n_tokens_bpe"] == 0 and got[3]["chars_per_token"] == 0.0
     assert got[0]["chars_per_token"] == round(11 / 2, 9)
+
+
+def test_cosine_topk_ivf_exhaustive_equals_exact(spark):
+    """nprobe >= n_centroids probes every inverted list -> IVF == exact
+    brute force by construction (same rerank fold, same tie-break)."""
+    from finchspark.operators.ann import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+             cosine_topk(emb, k=5, query_mod=50).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+           cosine_topk_ivf(emb, k=5, query_mod=50, n_centroids=8, nprobe=8).collect()}
+    assert exact == ivf
+
+
+def test_cosine_topk_ivf_pruned_recall(spark):
+    """Pruned probes keep useful recall while searching a fraction of the
+    lists (driver embeddings are weakly clustered, so the bar is modest)."""
+    from finchspark.operators.ann import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk(emb, k=5, query_mod=50).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in
+           cosine_topk_ivf(emb, k=5, query_mod=50, n_centroids=8, nprobe=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_spherical_kmeans_deterministic_and_separates():
+    from finchspark.operators.ann import _spherical_kmeans
+
+    rng = np.random.default_rng(3)
+    # two well-separated cones
+    a = rng.normal(loc=(5, 0, 0, 0), scale=0.2, size=(40, 4))
+    b = rng.normal(loc=(0, 5, 0, 0), scale=0.2, size=(40, 4))
+    v = np.vstack([a, b])
+    c1 = _spherical_kmeans(v, 2)
+    c2 = _spherical_kmeans(v.copy(), 2)
+    assert np.array_equal(c1, c2)  # deterministic
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    assign = (vn @ c1.T).argmax(axis=1)
+    assert len(set(assign[:40])) == 1 and len(set(assign[40:])) == 1
+    assert assign[0] != assign[40]
