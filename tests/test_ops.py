@@ -410,3 +410,74 @@ def test_spherical_kmeans_deterministic_and_separates():
     assign = (vn @ c1.T).argmax(axis=1)
     assert len(set(assign[:40])) == 1 and len(set(assign[40:])) == 1
     assert assign[0] != assign[40]
+
+
+def _wav_bytes(freq=440.0, rate=8000, sec=0.25, nch=1):
+    import io
+    import wave
+
+    t = np.arange(int(rate * sec)) / rate
+    mono = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    data = np.repeat(mono, nch).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def _mp4_bytes(duration=90, timescale=30):
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+    mvhd_body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + timescale.to_bytes(4, "big") \
+        + duration.to_bytes(4, "big") + b"\x00" * 80
+    moov = box(b"moov", box(b"mvhd", mvhd_body))
+    return ftyp + moov + box(b"mdat", b"\x00" * 16)
+
+
+def test_audio_features_real_wav_and_poisoned(spark):
+    from finchspark.operators.multimodal import extract_audio_features
+
+    rows = [
+        (0, bytearray(_wav_bytes())),
+        (1, bytearray(_wav_bytes(freq=100.0, nch=2))),
+        (2, bytearray(b"fLaC not really")),  # compressed -> honest stub error
+        (3, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    a = got[0]
+    assert a["sample_rate"] == 8000 and a["n_channels"] == 1
+    assert a["n_samples"] == 2000 and abs(a["duration_sec"] - 0.25) < 1e-9
+    assert abs(a["rms"] - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    # 440 Hz sine crosses zero ~2*440 times/sec -> rate ~0.11
+    assert abs(a["zero_crossing_rate"] - 2 * 440 / 8000) < 0.01
+    assert got[1]["n_channels"] == 2 and got[1]["decode_error"] is None
+    assert "NotImplementedError" in got[2]["decode_error"]
+    assert got[3]["decode_error"] is not None
+
+
+def test_video_metadata_real_mp4_walk(spark):
+    from finchspark.operators.multimodal import (
+        extract_video_metadata,
+        sample_video_frames,
+    )
+
+    rows = [
+        (0, bytearray(_mp4_bytes(duration=90, timescale=30))),
+        (1, bytearray(b"\x1a\x45\xdf\xa3 webm-ish")),
+        (2, bytearray(b"garbage payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_video_metadata(df).collect()}
+    assert got[0]["container"] == "mp4" and got[0]["brand"] == "isom"
+    assert got[0]["top_boxes"] == ["ftyp", "moov", "mdat"]
+    assert abs(got[0]["duration_sec"] - 3.0) < 1e-9 and got[0]["timescale"] == 30
+    assert got[1]["container"] == "matroska"
+    assert got[2]["parse_error"] is not None
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00\x08ftyp")
