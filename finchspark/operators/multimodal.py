@@ -376,3 +376,58 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> "np.ndarray":
     raise NotImplementedError(
         "video frame decode requires a codec library (ffmpeg/pyav)"
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("payload_resized", T.BinaryType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    method: str = "bilinear",
+    payload_col: str = "payload",
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """decode → resize → re-encode per image payload, all real for PNG in
+    this container (pure-stdlib codec + vectorized numpy resampling,
+    `kernels/imageops.py`); undecodable payloads surface decode_error and a
+    NULL payload instead of failing the batch.
+
+    Output: key cols + (payload_resized PNG bytes, height, width,
+    decode_error)."""
+    from ..kernels.imageops import resize_bilinear, resize_nearest
+    from ..kernels.png import encode_png
+
+    resample = {"bilinear": resize_bilinear, "nearest": resize_nearest}[method]
+    schema = T.StructType(
+        [df.schema[c] for c in key_cols] + list(RESIZE_SCHEMA.fields)
+    )
+    n_key = len(key_cols)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errs = [], []
+            for p in pdf.iloc[:, n_key]:
+                try:
+                    img = decode_image(bytes(p) if p is not None else b"")
+                    payloads.append(encode_png(resample(img, height, width)))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001
+                    payloads.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            out = pdf.iloc[:, :n_key].copy()
+            out["payload_resized"] = payloads
+            out["height"] = height
+            out["width"] = width
+            out["decode_error"] = errs
+            yield out
+
+    return df.select(*key_cols, F.col(payload_col)).mapInPandas(compute, schema)

@@ -481,3 +481,34 @@ def test_video_metadata_real_mp4_walk(spark):
     assert got[2]["parse_error"] is not None
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00\x00\x08ftyp")
+
+
+def test_resize_images_roundtrip(spark):
+    """PNG → bilinear resize → PNG, decodable, right shape; a solid-color
+    image stays that color; a non-PNG payload surfaces decode_error."""
+    from finchspark.kernels.imageops import resize_bilinear, resize_nearest
+    from finchspark.kernels.png import decode_png, encode_png
+    from finchspark.operators.multimodal import resize_images
+
+    solid = np.full((20, 30, 3), (10, 200, 77), dtype=np.uint8)
+    grad = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (16, 1, 3))
+    rows = [
+        (0, bytearray(encode_png(solid))),
+        (1, bytearray(encode_png(grad))),
+        (2, bytearray(b"\xff\xd8\xffjpegish")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in resize_images(df, 8, 12).collect()}
+    out0 = decode_png(bytes(got[0]["payload_resized"]))
+    assert out0.shape == (8, 12, 3)
+    assert (out0 == np.array([10, 200, 77], np.uint8)).all()
+    out1 = decode_png(bytes(got[1]["payload_resized"]))
+    assert out1.shape == (8, 12, 3)
+    assert (np.diff(out1[0, :, 0].astype(int)) >= 0).all()  # gradient preserved
+    assert got[2]["payload_resized"] is None and "NotImplementedError" in got[2]["decode_error"]
+
+    # kernel-level identities: identity resize == input; nearest on 2x
+    # upscale repeats pixels
+    assert np.array_equal(resize_bilinear(grad, 16, 64), grad)
+    up = resize_nearest(solid, 40, 60)
+    assert up.shape == (40, 60, 3) and (up == solid[0, 0]).all()
