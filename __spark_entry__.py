@@ -554,6 +554,23 @@ def _q_ann_lsh(spark, sf):
     )
 
 
+def _q_weighted_jaccard(spark, sf):
+    """Abundance-weighted Jaccard over the exact near-dup pair set, computed
+    from complete sketches — there the retained counts ARE the per-gram
+    occurrence counts, so DuckDB reproduces the histogram intersection
+    exactly from the raw text."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+    from finchspark.operators.verify import weighted_jaccard_pairs
+
+    sigs = _signatures_full(spark, sf)
+    pairs = exact_jaccard_pairs(sigs, JACC_T).select("key_a", "key_b")
+    return weighted_jaccard_pairs(pairs, sigs).select(
+        "key_a",
+        "key_b",
+        F.round("weighted_jaccard", 9).alias("weighted_jaccard"),
+    )
+
+
 def _q_ann_ivf(spark, sf):
     """IVF coarse-quantizer ANN through the Spark surface, value-exact: with
     nprobe == n_centroids every inverted list is probed, so the search is
@@ -613,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "weighted_jaccard": _q_weighted_jaccard,
     }
 
 
@@ -1017,6 +1035,29 @@ ranked as (
   from scored
 )
 select query_id, neighbor_id, rank from ranked where rank <= {ANN_K}
+""",
+        "weighted_jaccard": _EXACT_PAIRS
+        + f""",
+gc as (
+  select doc_id, gram, count(*) as c
+  from (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents)
+  group by 1, 2
+),
+ta as (select p.key_a, p.key_b, g.gram, g.c as ca
+       from exact_pairs p join gc g on g.doc_id = p.key_a),
+tb as (select p.key_a, p.key_b, g.gram, g.c as cb
+       from exact_pairs p join gc g on g.doc_id = p.key_b),
+u as (
+  select coalesce(ta.key_a, tb.key_a) as key_a,
+         coalesce(ta.key_b, tb.key_b) as key_b,
+         coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+  from ta full outer join tb
+    on ta.key_a = tb.key_a and ta.key_b = tb.key_b and ta.gram = tb.gram
+)
+select key_a, key_b,
+       round(sum(least(ca, cb)) / cast(sum(greatest(ca, cb)) as double), 9)
+         as weighted_jaccard
+from u group by 1, 2
 """,
         "ann_ivf": f"""
 -- exhaustive-by-construction: nprobe == n_centroids searches every list,

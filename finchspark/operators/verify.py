@@ -133,3 +133,52 @@ def verify_pairs(
     if config.max_dist is not None:
         out = out.filter(F.col("mash_distance") <= config.max_dist)  # F8
     return out
+
+
+def weighted_jaccard_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Abundance-weighted (histogram) Jaccard for given candidate pairs:
+    wj(A, B) = Σ_h min(count_A(h), count_B(h)) / Σ_h max(count_A(h),
+    count_B(h)) over the union of retained hashes — the count-aware
+    companion to set-Jaccard, using the per-hash abundances finch sketches
+    carry (`lib/src/sketch_schemes/counts.rs` semantics; identical docs →
+    1.0, disjoint → 0.0, and duplicated content weighs by multiplicity).
+
+    Pure Catalyst: each side's (hash, count) rows come from one
+    explode-and-join of the signatures frame; a full-outer join on (pair,
+    hash) aligns the two histograms so absent hashes count 0. One shuffle
+    per side plus the outer-join exchange — candidate-bounded like verify,
+    never all-pairs. Exact over complete sketches; with truncated sketches
+    it is the weighted Jaccard OF THE SKETCHES (documented estimator).
+
+    Output: (key_a, key_b, weighted_jaccard)."""
+    toks = signatures.select(
+        F.col(key_col).alias("k"),
+        F.explode(F.arrays_zip("hashes", "counts")).alias("z"),
+    ).select("k", F.col("z.hashes").alias("h"), F.col("z.counts").alias("c"))
+    ta = pairs.join(toks.withColumnRenamed("k", "key_a"), "key_a").select(
+        "key_a", "key_b", "h", F.col("c").alias("ca")
+    )
+    tb = pairs.join(toks.withColumnRenamed("k", "key_b"), "key_b").select(
+        "key_a", "key_b", "h", F.col("c").alias("cb")
+    )
+    aligned = ta.join(tb, ["key_a", "key_b", "h"], "full_outer").select(
+        "key_a",
+        "key_b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    agg = aligned.groupBy("key_a", "key_b").agg(
+        F.sum(F.least("ca", "cb")).alias("mins"),
+        F.sum(F.greatest("ca", "cb")).alias("maxs"),
+    )
+    return agg.select(
+        "key_a",
+        "key_b",
+        F.when(F.col("maxs") > 0, F.col("mins") / F.col("maxs"))
+        .otherwise(F.lit(1.0))
+        .alias("weighted_jaccard"),
+    )

@@ -512,3 +512,31 @@ def test_resize_images_roundtrip(spark):
     assert np.array_equal(resize_bilinear(grad, 16, 64), grad)
     up = resize_nearest(solid, 40, 60)
     assert up.shape == (40, 60, 3) and (up == solid[0, 0]).all()
+
+
+def test_weighted_jaccard_identities(spark):
+    """Histogram-Jaccard identities through the Spark surface: identical
+    docs -> 1.0; a doc vs its double-repetition -> 0.5 (every gram count
+    doubles); disjoint docs -> 0.0."""
+    from pyspark.sql import functions as F
+
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.operators.signature import build_signatures
+    from finchspark.operators.verify import weighted_jaccard_pairs
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789" * 4  # 144 chars, k=21 ok
+    rows = [(0, base), (1, base), (2, base + base), (3, "Z" * 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    cfg = PipelineConfig(sketch=SketchParams(kmers_to_sketch=4096, final_size=4096))
+    sigs = build_signatures(docs, cfg, key_cols=("doc_id",))
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "key_a long, key_b long")
+    got = {
+        (r["key_a"], r["key_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(pairs, sigs).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] == 0.0
+    # doubling the text doubles interior gram counts; boundary grams at the
+    # seam add a few new ones, so wj is slightly under 0.5
+    assert 0.4 < got[(0, 2)] <= 0.5
