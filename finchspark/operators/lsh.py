@@ -92,18 +92,28 @@ def candidate_pairs_incremental(
     Both-new pairs appear from both direction-orderings of the asymmetric
     join, so pairs are min/max-normalized before the distinct.
 
-    Scale shape: the store side is the big side — its exploded bands are
-    window-counted and capped exactly like the batch stage (skew safety
-    holds as the store grows); the new side is a micro-batch and stays
-    small, so the join is effectively a semi-probe of the store's buckets.
-    Output: (key_a, key_b) distinct, key_a < key_b."""
+    Scale shape: the store is never shuffled whole. The new batch's bucket
+    keys are tiny (micro-batch × n_bands rows) and explicitly broadcast; a
+    LEFT SEMI join prunes the store's exploded bands down to buckets the
+    batch actually touches — untouched buckets cannot produce candidates —
+    and only that touched subset is window-counted for the cap and joined.
+    Per-epoch cost is one store scan + one small shuffle of the touched
+    rows, independent of total store size in shuffle volume. Bucket sizes
+    still count EVERY store member of a touched bucket, so the skew cap is
+    exact as the store grows. Output: (key_a, key_b) distinct,
+    key_a < key_b."""
     new_bands = explode_bands(new_signatures, key_col).select(
         "band_id", "band_hash", F.col(key_col).alias("nk")
     )
-    store = explode_bands(all_signatures, key_col)
+    touched_keys = F.broadcast(
+        new_bands.select("band_id", "band_hash").distinct()
+    )
+    touched = explode_bands(all_signatures, key_col).join(
+        touched_keys, ["band_id", "band_hash"], "left_semi"
+    )
     w = Window.partitionBy("band_id", "band_hash")
     member = (
-        store.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        touched.withColumn("bucket_size", F.count(F.lit(1)).over(w))
         .filter(F.col("bucket_size") <= lsh.bucket_cap)
         .select("band_id", "band_hash", F.col(key_col).alias("sk"))
     )
