@@ -28,12 +28,23 @@ class ParamsMismatch(RuntimeError):
 
 
 class TableStore:
-    """Parquet-backed stage store with Iceberg-shaped append/read semantics."""
+    """Format-pluggable stage store with Iceberg-shaped append/read semantics.
 
-    def __init__(self, root: str | Path, params_hash: str, run_id: str | None = None):
+    `fmt` is any Spark DataSource format ("parquet" default, "orc" also
+    exercised in tests); an Iceberg deployment subclasses `write`/`read` to
+    `df.writeTo(catalog.table).append()` without touching pipeline code."""
+
+    def __init__(
+        self,
+        root: str | Path,
+        params_hash: str,
+        run_id: str | None = None,
+        fmt: str = "parquet",
+    ):
         self.root = Path(root)
         self.params_hash = params_hash
         self.run_id = run_id or time.strftime("run-%Y%m%d-%H%M%S")
+        self.fmt = fmt
 
     def _dir(self, stage: str) -> Path:
         return self.root / stage
@@ -56,7 +67,7 @@ class TableStore:
         # per-partition lineage: tag rows with the writing partition id so a
         # partial failure is attributable; cheap (generated column, no shuffle)
         tagged = df.withColumn("_partition_id", F.spark_partition_id())
-        tagged.write.mode(mode).parquet(str(path))
+        tagged.write.mode(mode).format(self.fmt).save(str(path))
         out = self.read(stage)
         n = out.count()
         meta = {
@@ -71,7 +82,11 @@ class TableStore:
 
     def read(self, stage: str) -> DataFrame:
         spark = SparkSession.getActiveSession()
-        return spark.read.parquet(str(self._dir(stage))).drop("_partition_id")
+        return (
+            spark.read.format(self.fmt)
+            .load(str(self._dir(stage)))
+            .drop("_partition_id")
+        )
 
     def read_meta(self, stage: str) -> dict:
         return json.loads((self._dir(stage) / "_finch_meta.json").read_text())

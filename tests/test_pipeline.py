@@ -146,3 +146,17 @@ def test_simhash_chunk_bucket_cap(spark, cfg):
     got_full = {(r["key_a"], r["key_b"]) for r in full.collect()}
     assert (100, 101) in got_full
     assert (1, 3) in got_full  # hamming 3 via the shared chunk0
+
+
+def test_tablestore_format_pluggable(spark, tmp_path):
+    """The stage store works over any Spark DataSource format — ORC here as
+    the second real format (the Iceberg path swaps write/read only)."""
+    from finchspark.plans.checkpoint import TableStore
+
+    store = TableStore(tmp_path / "orc_store", "hash1", fmt="orc")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.write("stage1", df)
+    got = {(r["k"], r["v"]) for r in store.read("stage1").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert store.read_meta("stage1")["row_count"] == 2
+    assert store.exists("stage1")
