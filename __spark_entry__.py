@@ -27,6 +27,7 @@ MAX_DIST = 0.015
 CONT_T = 0.6
 ABUN_LO, ABUN_HI = 2, 5
 ANN_K, ANN_MOD = 5, 50
+REPO_T = 0.02  # repo-level (merged-sketch) Jaccard threshold on driver data
 COS_T = 0.45  # embedding near-dup threshold (driver data max cosine ~0.513)
 
 
@@ -483,6 +484,38 @@ def _q_merged_signatures(spark, sf):
     return merged.select("source", "n_members", F.size("hashes").alias("sig_size"))
 
 
+def _q_repo_jaccard(spark, sf):
+    """Repo-level dedup: merge each source's COMPLETE file sketches (D8,
+    no clip) and run the exact set-similarity join between the merged
+    sketches — the merged hash set IS the source's distinct 21-gram set, so
+    jaccard/containment_a are true set quantities with an ANSI-SQL twin."""
+    from finchspark.operators.merge import merged_jaccard_pairs
+
+    sigs = _signatures_full(spark, sf).join(
+        _docs(spark, sf).select("doc_id", "source"), "doc_id"
+    )
+    return merged_jaccard_pairs(sigs, "source", REPO_T).select(
+        "key_a", "key_b", "jaccard", "containment_a"
+    )
+
+
+def _q_dedup_corpus(spark, sf):
+    """Corpus materialization: the deduplicated keep-set (one min-key
+    representative per exact near-dup cluster + all singletons) with the
+    per-row sha256 content invariant recomputed on the surviving rows —
+    the north-star's 'every row preserves content sha256 equality'
+    requirement, value-checked end-to-end."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+    from finchspark.operators.cc import connected_components
+    from finchspark.operators.dedup import dedup_corpus
+
+    e = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    comps = connected_components(
+        e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+    )
+    return dedup_corpus(_docs(spark, sf), comps)
+
+
 def _q_simhash_pairs(spark, sf):
     """SimHash short-doc path; the driver corpus has no sub-28-char docs, so
     the query widens the short-doc cutoff (docs under ~220 chars) to put real
@@ -623,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_neardup_full": _q_cc_neardup_full,
         "span_coverage": _q_span_coverage,
         "merged_signatures": _q_merged_signatures,
+        "repo_jaccard": _q_repo_jaccard,
+        "dedup_corpus": _q_dedup_corpus,
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -972,6 +1007,46 @@ rec as (
   ) select * from reach
 )
 select a as node, least(a, min(b)) as component from rec group by a
+""",
+        "repo_jaccard": f"""
+with gr as (select source, unnest({_KGRAMS}) as gram from documents),
+t as (select source, gram from gr group by 1, 2),
+n as (select source, count(*) as n from t group by 1),
+co as (
+  select a.source as key_a, b.source as key_b, count(*) as inter
+  from t a join t b on a.gram = b.gram and b.source > a.source
+  group by 1, 2
+),
+j as (
+  select key_a, key_b, inter, na.n as na, nb.n as nb
+  from co join n na on na.source = key_a join n nb on nb.source = key_b
+)
+select key_a, key_b,
+  inter / cast(na + nb - inter as double) as jaccard,
+  inter / cast(na as double) as containment_a
+from j where inter / cast(na + nb - inter as double) >= {REPO_T}
+""",
+        "dedup_corpus": _EXACT_PAIRS
+        + """
+, und as (
+  select key_a as a, key_b as b from exact_pairs
+  union
+  select key_b, key_a from exact_pairs
+),
+rec as (
+  with recursive reach(a, b) as (
+    select a, b from und
+    union
+    select r.a, u.b from reach r join und u on r.b = u.a
+  ) select * from reach
+),
+comp as (select a as node, least(a, min(b)) as component from rec group by a),
+sizes as (select component, count(*) as cluster_size from comp group by 1)
+select d.doc_id, coalesce(s.cluster_size, 1) as cluster_size, sha256(d.text) as sha256
+from documents d
+left join comp c on c.node = d.doc_id
+left join sizes s on s.component = d.doc_id
+where c.node is null or c.component = d.doc_id
 """,
         "merged_signatures": f"""
 with g as (select doc_id, source, {_KGRAMS} as grams from documents),

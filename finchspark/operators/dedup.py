@@ -151,3 +151,45 @@ def mash_distance_col(jaccard_col: str, k: int):
     return F.when(j <= 0.0, F.lit(1.0)).otherwise(
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), d))
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    components: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Materialize the deduplicated corpus from a component map.
+
+    `components` is a (node, component) frame as produced by
+    `connected_components` — every clustered doc tagged with its cluster's
+    min key. The surviving corpus keeps exactly ONE canonical
+    representative per cluster (the min-key member, i.e. the doc whose key
+    equals its component id) plus every doc that was never clustered.
+
+    Output per kept doc: (key, cluster_size, sha256) — cluster_size is how
+    many source docs the row stands for (1 for singletons), and sha256
+    restates the per-row content-integrity invariant: a surviving row's
+    content hash must equal the source table's (computed JVM-side here, so
+    any corruption introduced by the dedup plumbing would surface).
+
+    Scale: the only operation touching the full docs table is a LEFT ANTI
+    join against the non-representative node list — AQE broadcasts it when
+    the clustered fraction is small (the common case) and falls back to a
+    single key-partitioned shuffle otherwise. The cluster-size aggregate
+    runs over the components frame alone.
+    """
+    drop = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key)
+    )
+    sizes = (
+        components.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .withColumnRenamed("component", key)
+    )
+    kept = docs.join(drop, key, "left_anti")
+    return kept.join(sizes, key, "left").select(
+        F.col(key),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.sha2(F.col(text), 256).alias("sha256"),
+    )

@@ -57,3 +57,32 @@ def merge_signatures_by(
         .withColumnRenamed("grp", group_col)
     )
     return out
+
+
+def merged_jaccard_pairs(
+    signatures: DataFrame,
+    group_col: str,
+    threshold: float,
+    size: int | None = None,
+) -> DataFrame:
+    """Group-level (repo-level) Jaccard: merge each group's file sketches
+    into one group sketch (D8), then run the exact set-similarity join
+    between the merged sketches — finch's genome-level `dist` lifted to the
+    repo granularity (compare whole repos/commits instead of single files,
+    `lib/src/python.rs:24-100` merge + `distance.rs:66-126` dist).
+
+    With COMPLETE per-file sketches and `size=None` (no clip), the merged
+    hash array is exactly the group's distinct-shingle set, so the returned
+    jaccard/containment are the true set quantities between repos — the
+    form the driver value-oracles. With bounded `size`, it degrades to
+    bottom-k sketch Jaccard between group sketches (the production form at
+    scale: per-group state is clipped to k, and the pair join runs over
+    k-bounded arrays regardless of repo size).
+
+    Output: (group_a, group_b, jaccard, containment_a) with group_a <
+    group_b lexicographically.
+    """
+    from .allpairs import exact_jaccard_pairs
+
+    merged = merge_signatures_by(signatures, group_col, size=size)
+    return exact_jaccard_pairs(merged, threshold, key_col=group_col)

@@ -540,3 +540,51 @@ def test_weighted_jaccard_identities(spark):
     # doubling the text doubles interior gram counts; boundary grams at the
     # seam add a few new ones, so wj is slightly under 0.5
     assert 0.4 < got[(0, 2)] <= 0.5
+
+
+def test_dedup_corpus_materialization(spark):
+    """dedup_corpus keeps exactly one min-key representative per cluster
+    plus all singletons, reports how many docs each kept row stands for,
+    and recomputes the content sha256 on the surviving rows."""
+    import hashlib
+
+    from finchspark.operators.dedup import dedup_corpus
+
+    rows = [(i, f"doc-{i}-" + "x" * 30) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # clusters {0,1,2} and {4,5}; doc 3 is a singleton
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (4, 4), (5, 4)], "node long, component long"
+    )
+    got = {r["doc_id"]: r for r in dedup_corpus(docs, comps).collect()}
+    assert set(got) == {0, 3, 4}
+    assert got[0]["cluster_size"] == 3
+    assert got[3]["cluster_size"] == 1
+    assert got[4]["cluster_size"] == 2
+    for i, text in rows:
+        if i in got:
+            assert got[i]["sha256"] == hashlib.sha256(text.encode()).hexdigest()
+
+
+def test_merged_jaccard_pairs_exact(spark):
+    """Repo-level Jaccard: merged (unclipped) sketches are set unions, and
+    the group-level set-similarity join reports exact set quantities."""
+    from finchspark.operators.merge import merged_jaccard_pairs
+
+    rows = [
+        ("g1", [1, 2, 3], [1, 1, 1]),
+        ("g1", [3, 4], [2, 1]),
+        ("g2", [2, 3, 4], [1, 1, 1]),
+        ("g3", [100, 200], [1, 1]),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "source string, hashes array<long>, counts array<int>"
+    )
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in merged_jaccard_pairs(sigs, "source", 0.5).collect()
+    }
+    # g1 union = {1,2,3,4}; g2 = {2,3,4}: inter 3, union 4
+    assert set(out) == {("g1", "g2")}
+    assert out[("g1", "g2")]["jaccard"] == 0.75
+    assert out[("g1", "g2")]["containment_a"] == 0.75
