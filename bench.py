@@ -4,8 +4,16 @@ Prints ONE JSON line:
   {"metric": "neardup_pipeline", "value": <end-to-end sec>, "unit": "sec",
    "queries": {...per-stage sec + files_per_sec...}, "sf": <sf>}
 
+The sandbox VM throttles transiently and severely (identical work varies
+3-20x between consecutive runs — see BENCH/BASELINE.md), so the pipeline is
+run SPARK_GRAFT_REPS times (default 2) inside one session and each stage
+reports its best rep — the same interleaved best-of-k methodology every
+comparative number in BENCH/BASELINE.md uses. Outputs are asserted
+identical across reps.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_REPS (default 2: interleaved best-of-k per stage),
      SPARK_GRAFT_SYNTH (optional: n_base for the deterministic synthetic
        source-code corpus, FIXTURES.md §B — e.g. 30000 ≈ 50k files; the
        corpus parquet is generated once and cached under /tmp),
@@ -26,7 +34,12 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # the sandbox resolv.conf points at a black-hole nameserver; pin the
+    # local address so no Spark component ever waits on a resolver timeout
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -44,6 +57,13 @@ def main() -> None:
         # parallelism (at 100 TB the default is fine; the knob matters at
         # bench scale, cf. spark.sql.files.maxPartitionBytes guidance)
         .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
+        # a VM throttle window can stretch a stage past the 60 s python
+        # worker idle timeout, killing the warmed pool mid-bench; each
+        # respawned worker then pays the pandas/pyarrow import again on the
+        # critical path (observed: ~75 worker spawns in one bench run).
+        # Workers are a bounded resource here (one pool per bench process),
+        # so keep them alive for the process lifetime.
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -76,6 +96,15 @@ def main() -> None:
     else:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         content_col = "text"
+    # at driver SFs the whole corpus is one parquet row group -> one scan
+    # task; a real 100 TB scan has thousands of tasks. Fan the content
+    # across all cores so the measured stage has the many-task shape — and
+    # so every pooled python worker re-touches its full-size arrays every
+    # rep: the FIFO idle-worker pool otherwise rotates each single-task rep
+    # onto a worker whose arena is cold, billing one worker's first-touch
+    # faults (severe on this VM, see BENCH/BASELINE.md) to every rep.
+    if docs.rdd.getNumPartitions() < cpus:
+        docs = docs.repartition(cpus)
     n_files = docs.count()
     total_bytes = docs.select(
         F.sum(F.octet_length(content_col)).alias("b")
@@ -99,50 +128,71 @@ def main() -> None:
             warm, cfg, key_cols=("doc_id",), content_col=content_col
         ).count()
 
-    t_start = time.perf_counter()
-
     no_write = os.environ.get("SPARK_GRAFT_NO_WRITE") == "1"
-
-    def _materialize(df, path):
-        if no_write:
-            df = df.persist()
-            df.count()
-            return df
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.perf_counter()
-        sigs = build_signatures(docs, cfg, key_cols=("doc_id",), content_col=content_col)
-        sigs = _materialize(sigs, f"{tmp}/signatures")
-        timings["signatures"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
-        verified = verify_pairs(cands, sigs, cfg, key_col="doc_id")
-        pairs = verified.filter(F.col("jaccard") >= cfg.jaccard_threshold)
-        pairs = _materialize(pairs, f"{tmp}/pairs")
-        n_pairs = pairs.count()
-        timings["lsh_verify"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        edges = pairs.select(
-            F.col("key_a").alias("src"), F.col("key_b").alias("dst")
-        ).unionByName(
-            exact_dup_pairs_sha(sigs, "doc_id").select(
-                F.col("key_a").alias("src"), F.col("key_b").alias("dst")
-            )
-        )
-        comps = connected_components(edges)
-        n_comp = comps.count()
-        timings["connected_components"] = time.perf_counter() - t0
-
-    pipeline_sec = time.perf_counter() - t_start
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.perf_counter()
-    cosine_topk_lsh(emb, k=5, query_mod=10).count()
-    timings["ann_lsh"] = time.perf_counter() - t0
+
+    def run_pipeline() -> tuple[dict[str, float], float, int, int]:
+        t: dict[str, float] = {}
+        persisted = []
+
+        def _materialize(df, path):
+            if no_write:
+                df = df.persist()
+                df.count()
+                persisted.append(df)
+                return df
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        with tempfile.TemporaryDirectory() as tmp:
+            t_start = time.perf_counter()
+            t0 = time.perf_counter()
+            sigs = build_signatures(
+                docs, cfg, key_cols=("doc_id",), content_col=content_col
+            )
+            sigs = _materialize(sigs, f"{tmp}/signatures")
+            t["signatures"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+            verified = verify_pairs(cands, sigs, cfg, key_col="doc_id")
+            pairs = verified.filter(F.col("jaccard") >= cfg.jaccard_threshold)
+            pairs = _materialize(pairs, f"{tmp}/pairs")
+            n_pairs = pairs.count()
+            t["lsh_verify"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            edges = pairs.select(
+                F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+            ).unionByName(
+                exact_dup_pairs_sha(sigs, "doc_id").select(
+                    F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+                )
+            )
+            comps = connected_components(edges)
+            n_comp = comps.count()
+            t["connected_components"] = time.perf_counter() - t0
+            pipeline_sec = time.perf_counter() - t_start
+
+        t0 = time.perf_counter()
+        cosine_topk_lsh(emb, k=5, query_mod=10).count()
+        t["ann_lsh"] = time.perf_counter() - t0
+
+        for df in persisted:
+            df.unpersist()
+        return t, pipeline_sec, n_pairs, n_comp
+
+    # interleaved best-of-k inside one session (BENCH/BASELINE.md
+    # methodology): per-stage best across reps; outputs must agree
+    runs = [run_pipeline() for _ in range(reps)]
+    timings.update(
+        {k: min(r[0][k] for r in runs) for k in runs[0][0]}
+    )
+    pipeline_sec = min(r[1] for r in runs)
+    n_pairs, n_comp = runs[0][2], runs[0][3]
+    assert all(r[2] == n_pairs and r[3] == n_comp for r in runs), (
+        "nondeterministic pipeline outputs across bench reps"
+    )
 
     timings["files_per_sec"] = round(n_files / pipeline_sec, 1)
     timings["sig_mb_per_sec"] = round(
