@@ -5,10 +5,13 @@ Prints per-query PASS/FAIL with row counts; exit 1 on any failure.
 """
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import duckdb
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")  # black-hole resolver guard
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -41,6 +44,7 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

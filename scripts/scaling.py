@@ -59,6 +59,16 @@ def main() -> None:
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / 4.0
     stage_keys = ("signatures", "lsh_verify", "connected_components")
+    # per-stage best across ALL repeats at each level (bench.py already
+    # takes best-of-SPARK_GRAFT_REPS inside each run; this is best across
+    # the interleaved outer repeats too), plus per-stage efficiency — the
+    # north-rule gate is judged on the throughput stage, and a VM throttle
+    # window hitting one stage of one run must not poison the others
+    stage_lo = {k: min(r["queries"][k] for r in lows) for k in stage_keys}
+    stage_hi = {k: min(r["queries"][k] for r in highs) for k in stage_keys}
+    stage_eff = {
+        k: round((stage_lo[k] / stage_hi[k]) / 4.0, 3) for k in stage_keys
+    }
     print(
         json.dumps(
             {
@@ -69,8 +79,9 @@ def main() -> None:
                 "sec_high": t_hi,
                 "sec_low_all": [r["value"] for r in lows],
                 "sec_high_all": [r["value"] for r in highs],
-                "stages_low": {k: lo["queries"][k] for k in stage_keys},
-                "stages_high": {k: hi["queries"][k] for k in stage_keys},
+                "stages_low": stage_lo,
+                "stages_high": stage_hi,
+                "stage_efficiency": stage_eff,
                 "files_per_sec_low": lo["queries"]["files_per_sec"],
                 "files_per_sec_high": hi["queries"]["files_per_sec"],
                 "scaling_efficiency": round(eff, 3),

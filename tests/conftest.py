@@ -3,7 +3,13 @@ with planted duplicate structure (FIXTURES.md §B; generator lives in
 finchspark.sources.synth so benchmarks reuse it at larger n)."""
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# the sandbox resolv.conf points at a black-hole nameserver; pin the local
+# address so no Spark component ever waits on a resolver timeout
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 
 @pytest.fixture(scope="session")
@@ -17,6 +23,10 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # keep the warmed python worker pool alive across the suite (a VM
+        # throttle window can stretch past the 60 s idle timeout, and every
+        # respawned worker re-pays the pandas/pyarrow import)
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
         .getOrCreate()
     )
     yield s
