@@ -160,3 +160,35 @@ def test_tablestore_format_pluggable(spark, tmp_path):
     assert got == {(1, "a"), (2, "b")}
     assert store.read_meta("stage1")["row_count"] == 2
     assert store.exists("stage1")
+
+
+def test_verify_sha_short_circuit_identical_output(spark, documents_df, cfg):
+    """The sha short-circuit path must be row-identical to the kernel path
+    (the planted corpus has exact-dup pairs, so both branches are
+    exercised), and exact-dup pairs must report the provable literals."""
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.signature import build_signatures
+    from finchspark.operators.verify import verify_pairs
+
+    sigs = build_signatures(
+        documents_df, cfg, key_cols=("doc_id",), content_col="content"
+    ).persist()
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    cands = cands.persist()
+
+    def rows(sc):
+        out = verify_pairs(cands, sigs, cfg, key_col="doc_id", sha_short_circuit=sc)
+        return sorted(
+            (r["key_a"], r["key_b"], round(r["containment"], 12),
+             round(r["jaccard"], 12), r["common_hashes"], r["total_hashes"],
+             round(r["mash_distance"], 12))
+            for r in out.collect()
+        )
+
+    fast, slow = rows(True), rows(False)
+    assert fast == slow
+    # at least one exact-dup candidate pair exists and reports the literals
+    exact = [r for r in fast if r[3] == 1.0]
+    assert exact and all(r[2] == 1.0 and r[4] == r[5] and r[6] == 0.0 for r in exact)
+    cands.unpersist()
+    sigs.unpersist()
