@@ -192,3 +192,21 @@ def test_verify_sha_short_circuit_identical_output(spark, documents_df, cfg):
     assert exact and all(r[2] == 1.0 and r[4] == r[5] and r[6] == 0.0 for r in exact)
     cands.unpersist()
     sigs.unpersist()
+
+
+def test_collapse_exact_same_components(spark, documents_df, cfg, result):
+    """collapse_exact=True must produce the same component map as the
+    default pipeline (precondition: no LSH bucket cap fired, which the
+    default run's overflow frame confirms), while sketching only the
+    sha-distinct representatives."""
+    collapsed = near_duplicates(
+        documents_df, cfg, key_col="doc_id", collapse_exact=True
+    )
+    assert result.bucket_overflow.count() == 0  # equivalence precondition
+    want = {(r["node"], r["component"]) for r in result.components.collect()}
+    got = {(r["node"], r["component"]) for r in collapsed.components.collect()}
+    assert got == want
+    # representatives only were sketched: every sha appears exactly once
+    n_sigs = collapsed.signatures.count()
+    n_distinct_sha = documents_df.select(F.sha2("content", 256)).distinct().count()
+    assert n_sigs == n_distinct_sha < documents_df.count()
