@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bucket-cap", type=int, default=2000)
     ap.add_argument("--max-dist", type=float, default=None)
     ap.add_argument("--resume", action="store_true", help="reuse completed stage checkpoints")
+    ap.add_argument(
+        "--collapse-exact",
+        action="store_true",
+        help="collapse byte-identical docs to one representative before "
+        "sketching (star-stitched components; see plans.pipeline docstring "
+        "for the measured tradeoff)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -66,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
 
         for stage in ("signatures", "pairs", "components"):
             shutil.rmtree(f"{args.output}/{stage}", ignore_errors=True)
+            shutil.rmtree(f"{args.output}/collapsed_{stage}", ignore_errors=True)
 
     docs = spark.read.parquet(args.input)
     res = near_duplicates(
@@ -74,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         key_col=args.key_col,
         content_col=args.content_col,
         store=store,
+        collapse_exact=args.collapse_exact,
     )
     n_pairs = res.pairs.count()
     n_nodes = res.components.count()
