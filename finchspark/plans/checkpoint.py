@@ -62,6 +62,10 @@ class TableStore:
             )
         return True
 
+    # full per-partition row map stored only up to this many partitions
+    # (beyond it the summary stats still capture skew without bloating meta)
+    _MAX_PARTITION_MAP = 4096
+
     def write(self, stage: str, df: DataFrame, mode: str = "overwrite") -> DataFrame:
         path = self._dir(stage)
         # per-partition lineage: tag rows with the writing partition id so a
@@ -69,24 +73,44 @@ class TableStore:
         tagged = df.withColumn("_partition_id", F.spark_partition_id())
         tagged.write.mode(mode).format(self.fmt).save(str(path))
         out = self.read(stage)
-        n = out.count()
+        # per-partition metrics from the lineage tag: one distributed agg
+        # over the written table; the skew ratio (max/mean) is the signal a
+        # re-partitioning decision needs before the next stage reads this one
+        per_part = {
+            int(r["_partition_id"]): r["n"]
+            for r in self._read_raw(stage)
+            .groupBy("_partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(per_part.values())
+        n_parts = max(len(per_part), 1)
+        mean = n / n_parts
         meta = {
             "run_id": self.run_id,
             "stage": stage,
             "params_hash": self.params_hash,
             "row_count": n,
+            "n_partitions": len(per_part),
+            "partition_rows_min": min(per_part.values(), default=0),
+            "partition_rows_max": max(per_part.values(), default=0),
+            "partition_rows_mean": round(mean, 2),
+            "partition_skew": round(max(per_part.values(), default=0) / mean, 3)
+            if n
+            else 0.0,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
+        if len(per_part) <= self._MAX_PARTITION_MAP:
+            meta["partition_rows"] = {str(k): v for k, v in sorted(per_part.items())}
         (path / "_finch_meta.json").write_text(json.dumps(meta, indent=1))
         return out
 
-    def read(self, stage: str) -> DataFrame:
+    def _read_raw(self, stage: str) -> DataFrame:
         spark = SparkSession.getActiveSession()
-        return (
-            spark.read.format(self.fmt)
-            .load(str(self._dir(stage)))
-            .drop("_partition_id")
-        )
+        return spark.read.format(self.fmt).load(str(self._dir(stage)))
+
+    def read(self, stage: str) -> DataFrame:
+        return self._read_raw(stage).drop("_partition_id")
 
     def read_meta(self, stage: str) -> dict:
         return json.loads((self._dir(stage) / "_finch_meta.json").read_text())

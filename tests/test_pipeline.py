@@ -210,3 +210,19 @@ def test_collapse_exact_same_components(spark, documents_df, cfg, result):
     n_sigs = collapsed.signatures.count()
     n_distinct_sha = documents_df.select(F.sha2("content", 256)).distinct().count()
     assert n_sigs == n_distinct_sha < documents_df.count()
+
+
+def test_tablestore_partition_metrics(spark, documents_df, cfg, tmp_path):
+    """Stage meta carries per-partition lineage metrics: counts per writing
+    partition sum to row_count, and the skew ratio is reported."""
+    from finchspark.plans.checkpoint import TableStore
+
+    store = TableStore(tmp_path / "store", cfg.params_hash())
+    df = documents_df.select("doc_id").repartition(4)
+    out = store.write("probe", df)
+    assert out.count() == documents_df.count()
+    meta = store.read_meta("probe")
+    assert meta["n_partitions"] == 4
+    assert sum(meta["partition_rows"].values()) == meta["row_count"]
+    assert meta["partition_rows_max"] >= meta["partition_rows_mean"]
+    assert meta["partition_skew"] >= 1.0
