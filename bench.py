@@ -6,14 +6,14 @@ Prints ONE JSON line:
 
 The sandbox VM throttles transiently and severely (identical work varies
 3-20x between consecutive runs — see BENCH/BASELINE.md), so the pipeline is
-run SPARK_GRAFT_REPS times (default 2) inside one session and each stage
+run SPARK_GRAFT_REPS times (default 3) inside one session and each stage
 reports its best rep — the same interleaved best-of-k methodology every
 comparative number in BENCH/BASELINE.md uses. Outputs are asserted
 identical across reps.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_REPS (default 2: interleaved best-of-k per stage),
+     SPARK_GRAFT_REPS (default 3: interleaved best-of-k per stage),
      SPARK_GRAFT_SYNTH (optional: n_base for the deterministic synthetic
        source-code corpus, FIXTURES.md §B — e.g. 30000 ≈ 50k files; the
        corpus parquet is generated once and cached under /tmp),
@@ -34,7 +34,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     # the sandbox resolv.conf points at a black-hole nameserver; pin the
