@@ -588,3 +588,38 @@ def test_merged_jaccard_pairs_exact(spark):
     assert set(out) == {("g1", "g2")}
     assert out[("g1", "g2")]["jaccard"] == 0.75
     assert out[("g1", "g2")]["containment_a"] == 0.75
+
+
+def test_dedup_corpus_partition_property(spark):
+    """Randomized component maps: the keep-set is exactly {cluster minima}
+    ∪ {unclustered docs}, each representative reports its cluster size,
+    and singletons report 1 — for any forest of clusters."""
+    import random
+    from collections import Counter
+
+    from finchspark.operators.dedup import dedup_corpus
+
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, f"t{i}" * 10) for i in range(n)], "doc_id long, text string"
+    )
+    for seed in range(3):
+        rng = random.Random(seed)
+        nodes = rng.sample(range(n), 80)
+        clusters: dict[int, int] = {}
+        while nodes:
+            size = min(len(nodes), rng.randint(2, 6))
+            grp, nodes = nodes[:size], nodes[size:]
+            comp = min(grp)
+            for g in grp:
+                clusters[g] = comp
+        comps = spark.createDataFrame(
+            sorted(clusters.items()), "node long, component long"
+        )
+        out = {r["doc_id"]: r["cluster_size"] for r in dedup_corpus(docs, comps).collect()}
+        reps = set(clusters.values())
+        singletons = set(range(n)) - set(clusters)
+        assert set(out) == reps | singletons
+        want = Counter(clusters.values())
+        assert all(out[r] == want[r] for r in reps)
+        assert all(out[s] == 1 for s in singletons)
