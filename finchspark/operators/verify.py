@@ -129,7 +129,16 @@ def verify_pairs(
                 "key_b",
             )
         )
-        same = (F.col("__sha_a") == F.col("__sha_b")) & (F.col("__n_a") > 0)
+        # isNotNull conjunctions keep `same` two-valued: a NULL sha on either
+        # side (possible for externally built signature frames) must route the
+        # pair to the kernel branch, not evaluate to NULL and silently drop it
+        # from BOTH branches (FALSE AND NULL = FALSE, so `same` is never NULL).
+        same = (
+            F.col("__sha_a").isNotNull()
+            & F.col("__sha_b").isNotNull()
+            & (F.col("__sha_a") == F.col("__sha_b"))
+            & (F.col("__n_a") > 0)
+        )
         identical = tagged.filter(same).select(
             "key_a",
             "key_b",

@@ -45,6 +45,7 @@ class TableStore:
         self.params_hash = params_hash
         self.run_id = run_id or time.strftime("run-%Y%m%d-%H%M%S")
         self.fmt = fmt
+        self._write_seq = 0
 
     def _dir(self, stage: str) -> Path:
         return self.root / stage
@@ -68,35 +69,51 @@ class TableStore:
 
     def write(self, stage: str, df: DataFrame, mode: str = "overwrite") -> DataFrame:
         path = self._dir(stage)
-        # per-partition lineage: tag rows with the writing partition id so a
-        # partial failure is attributable; cheap (generated column, no shuffle)
-        tagged = df.withColumn("_partition_id", F.spark_partition_id())
+        # per-partition lineage: tag rows with the writing partition id AND a
+        # per-write id so partition ids from separate append writes never
+        # collide in the metrics (they'd otherwise conflate independent
+        # writes' skew); both cheap generated columns, no shuffle
+        self._write_seq += 1
+        write_id = f"{self.run_id}/{self._write_seq}"
+        tagged = df.withColumn("_partition_id", F.spark_partition_id()).withColumn(
+            "_write_id", F.lit(write_id)
+        )
         tagged.write.mode(mode).format(self.fmt).save(str(path))
         out = self.read(stage)
         # per-partition metrics from the lineage tag: one distributed agg
-        # over the written table; the skew ratio (max/mean) is the signal a
-        # re-partitioning decision needs before the next stage reads this one
+        # over THIS write's rows only (filtered by _write_id — pushed to the
+        # scan); the skew ratio (max/mean) is the signal a re-partitioning
+        # decision needs before the next stage reads this one
         per_part = {
             int(r["_partition_id"]): r["n"]
             for r in self._read_raw(stage)
+            .filter(F.col("_write_id") == write_id)
             .groupBy("_partition_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        n = sum(per_part.values())
+        n_this_write = sum(per_part.values())
+        # row_count stays the cumulative table count (append-aware)
+        n = (
+            n_this_write
+            if mode != "append"
+            else self._read_raw(stage).count()
+        )
         n_parts = max(len(per_part), 1)
-        mean = n / n_parts
+        mean = n_this_write / n_parts
         meta = {
             "run_id": self.run_id,
             "stage": stage,
             "params_hash": self.params_hash,
             "row_count": n,
+            "write_id": write_id,
+            "write_row_count": n_this_write,
             "n_partitions": len(per_part),
             "partition_rows_min": min(per_part.values(), default=0),
             "partition_rows_max": max(per_part.values(), default=0),
             "partition_rows_mean": round(mean, 2),
             "partition_skew": round(max(per_part.values(), default=0) / mean, 3)
-            if n
+            if n_this_write
             else 0.0,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
@@ -110,7 +127,7 @@ class TableStore:
         return spark.read.format(self.fmt).load(str(self._dir(stage)))
 
     def read(self, stage: str) -> DataFrame:
-        return self._read_raw(stage).drop("_partition_id")
+        return self._read_raw(stage).drop("_partition_id", "_write_id")
 
     def read_meta(self, stage: str) -> dict:
         return json.loads((self._dir(stage) / "_finch_meta.json").read_text())

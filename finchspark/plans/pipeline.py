@@ -155,8 +155,13 @@ def near_duplicates(
 
     star_edges = None
     if collapse_exact:
+        # coalesce-to-'' matches build_signatures' sha (signature.py): NULL
+        # content must hash like the empty string, or the equi-join on __sha
+        # below drops the null group and those docs silently vanish from
+        # signatures AND components (they'd cluster in default mode).
         keyed = documents.select(
-            F.col(key_col), F.sha2(F.col(content_col), 256).alias("__sha")
+            F.col(key_col),
+            F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias("__sha"),
         )
         grp = keyed.groupBy("__sha").agg(F.min(key_col).alias("__rep"))
         members = keyed.join(grp, "__sha").select(key_col, "__rep")

@@ -72,9 +72,9 @@ def main() -> None:
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     corpus = f"/tmp/finchspark_synth_{synth}_42.parquet"
     if not os.path.exists(corpus):
+        sys.path.insert(0, str(REPO))
         from finchspark.sources.synth import write_synth_parquet
 
-        sys.path.insert(0, str(REPO))
         write_synth_parquet(corpus, n_base=synth)
     lows, highs = [], []
     for _ in range(repeats):

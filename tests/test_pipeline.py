@@ -226,3 +226,74 @@ def test_tablestore_partition_metrics(spark, documents_df, cfg, tmp_path):
     assert sum(meta["partition_rows"].values()) == meta["row_count"]
     assert meta["partition_rows_max"] >= meta["partition_rows_mean"]
     assert meta["partition_skew"] >= 1.0
+
+
+def test_collapse_exact_null_content_not_dropped(spark, cfg):
+    """ADVICE r3: collapse_exact keyed on sha2(content) WITHOUT the
+    coalesce-to-'' that build_signatures uses, so NULL-content docs fell out
+    of the __sha equi-join and silently vanished from signatures AND
+    components. They must instead cluster with empty-string docs (as in
+    default mode)."""
+    rows = [
+        ("n1", None),
+        ("n2", None),
+        ("e1", ""),
+        ("x1", "some unique content " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, content string")
+    res = near_duplicates(docs, cfg, key_col="doc_id", collapse_exact=True)
+    comp = {r["node"]: r["component"] for r in res.components.collect()}
+    # all three empty/null docs present and in ONE component
+    assert {"n1", "n2", "e1"} <= set(comp)
+    assert comp["n1"] == comp["n2"] == comp["e1"]
+    # and the default mode agrees
+    res_default = near_duplicates(docs, cfg, key_col="doc_id")
+    comp_d = {r["node"]: r["component"] for r in res_default.components.collect()}
+    assert comp_d["n1"] == comp_d["n2"] == comp_d["e1"]
+    # exactly one representative signature exists for the null/empty group
+    assert res.signatures.count() == 2  # {null/empty group rep, x1}
+
+
+def test_verify_null_sha_routes_to_kernel(spark, documents_df, cfg):
+    """ADVICE r3: with sha_short_circuit=True, a NULL sha256 on either side
+    made `same` NULL so the pair failed BOTH branch filters and was silently
+    dropped. Null-sha pairs must take the kernel branch instead."""
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.signature import build_signatures
+    from finchspark.operators.verify import verify_pairs
+
+    sigs = build_signatures(
+        documents_df, cfg, key_cols=("doc_id",), content_col="content"
+    ).withColumn("sha256", F.lit(None).cast("string")).persist()
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    cands = cands.persist()
+    fast = verify_pairs(cands, sigs, cfg, key_col="doc_id", sha_short_circuit=True)
+    slow = verify_pairs(cands, sigs, cfg, key_col="doc_id", sha_short_circuit=False)
+
+    def rows(df):
+        return sorted(
+            (r["key_a"], r["key_b"], round(r["jaccard"], 12)) for r in df.collect()
+        )
+
+    assert rows(fast) == rows(slow) and len(rows(fast)) > 0
+    cands.unpersist()
+    sigs.unpersist()
+
+
+def test_tablestore_append_lineage_per_write(spark, cfg, tmp_path):
+    """ADVICE r3: append-mode lineage grouped the WHOLE table on
+    _partition_id, conflating partition ids across independent writes. The
+    metrics must now describe the CURRENT write only, while row_count stays
+    cumulative."""
+    store = TableStore(tmp_path / "store", cfg.params_hash())
+    df1 = spark.range(100).repartition(4)
+    df2 = spark.range(100, 160).repartition(2)
+    store.write("s", df1, mode="append")
+    store.write("s", df2, mode="append")
+    meta = store.read_meta("s")
+    assert meta["row_count"] == 160  # cumulative
+    assert meta["write_row_count"] == 60  # this write only
+    assert meta["n_partitions"] == 2  # df2's partitioning, not 4+2 conflated
+    assert sum(meta["partition_rows"].values()) == 60
+    assert store.read("s").count() == 160
+    assert set(store.read("s").columns) == {"id"}
