@@ -623,3 +623,94 @@ def test_dedup_corpus_partition_property(spark):
         want = Counter(clusters.values())
         assert all(out[r] == want[r] for r in reps)
         assert all(out[s] == 1 for s in singletons)
+
+
+def test_merge_mega_group_salted_bottom_k(spark):
+    """VERDICT r3 #1: the bottom-k clip must be the two-level salted
+    selection, and its result must be identical to the unsalted clip —
+    planted mega-group (40k distinct hashes, one group ≫ the others) with
+    overlapping members to exercise count summing, checked against a pure
+    python reference and across n_salts values."""
+    import random
+    from collections import Counter
+
+    from finchspark.operators.merge import merge_signatures_by
+
+    rng = random.Random(7)
+    mega_hashes = list(
+        {rng.randrange(-(2**62), 2**62) for _ in range(41_000)}
+    )[:40_000]
+    rows = []
+    for i in range(80):
+        chunk = sorted(mega_hashes[i * 500 : (i + 1) * 500])
+        rows.append(("mega", chunk, [1] * 500))
+    rows.append(("mega", sorted(mega_hashes[:500]), [2] * 500))  # overlap member
+    small = sorted(rng.sample(range(0, 10**9), 100))
+    rows.append(("small", small, [1] * 100))
+    sigs = spark.createDataFrame(
+        rows, "grp string, hashes array<long>, counts array<int>"
+    )
+
+    cnt = Counter()
+    for g, h, c in rows:
+        if g == "mega":
+            for hh, cc in zip(h, c):
+                cnt[hh] += cc
+    want = sorted(cnt)[:128]
+
+    got = {
+        r["grp"]: r
+        for r in merge_signatures_by(sigs, "grp", size=128, n_salts=8).collect()
+    }
+    assert got["mega"]["hashes"] == want
+    assert got["mega"]["counts"] == [cnt[h] for h in want]
+    assert got["mega"]["n_members"] == 81
+    assert got["small"]["hashes"] == small  # only 100 distinct, all kept
+    # salt-count invariance (mergeability property): 3 and 64 salts agree
+    for s in (3, 64):
+        alt = {
+            r["grp"]: r["hashes"]
+            for r in merge_signatures_by(sigs, "grp", size=128, n_salts=s).collect()
+        }
+        assert alt["mega"] == want
+
+
+def test_merge_signatures_exploded_rows(spark):
+    """size=None scale path: merged set as rows, counts summed, no per-group
+    array assembly."""
+    from finchspark.operators.merge import merge_signatures_exploded
+
+    rows = [
+        ("g1", [1, 5, 9], [1, 2, 3]),
+        ("g1", [5, 9, 11], [10, 1, 1]),
+        ("g2", [2], [7]),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "grp string, hashes array<long>, counts array<int>"
+    )
+    got = {
+        (r["grp"], r["hash"]): r["count"]
+        for r in merge_signatures_exploded(sigs, "grp").collect()
+    }
+    assert got == {
+        ("g1", 1): 1,
+        ("g1", 5): 12,
+        ("g1", 9): 4,
+        ("g1", 11): 1,
+        ("g2", 2): 7,
+    }
+
+
+def test_merge_size_none_mega_group_guard(spark):
+    """size=None hard-fails a group beyond max_group_hashes instead of
+    silently concentrating it into one executor's collect_list."""
+    from finchspark.operators.merge import merge_signatures_by
+
+    rows = [("g", list(range(1000)), [1] * 1000)]
+    sigs = spark.createDataFrame(
+        rows, "grp string, hashes array<long>, counts array<int>"
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        merge_signatures_by(sigs, "grp", size=None, max_group_hashes=500).collect()
+    ok = merge_signatures_by(sigs, "grp", size=None).collect()
+    assert len(ok) == 1 and len(ok[0]["hashes"]) == 1000
