@@ -353,24 +353,40 @@ def cosine_topk_ivf(
 
     def assign(batches):
         ct = cents.T  # (dim, n_centroids)
+        dim = ct.shape[0]
         for batch in batches:
-            if batch.num_rows == 0:
+            n = batch.num_rows
+            if n == 0:
                 continue
             keys = batch.column(0)
-            mat = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            # zero-copy Arrow→numpy (same pattern as _bucketize above):
+            # flatten() honors a sliced list array's offset window, then one
+            # contiguous f64 cast — no per-row Python materialization
+            col = batch.column(1)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            mat = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ ct
             # top-nprobe lists per row, ordered best-first (deterministic:
             # argsort on (-sim, list_id) via stable sort of negated sims)
             order = np.argsort(-sims, axis=1, kind="stable")
+            offs = np.arange(n + 1, dtype=np.int32) * nprobe
+            probes = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pa.array(
+                    order[:, :nprobe].astype(np.int32).reshape(-1), pa.int32()
+                ),
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     keys,
                     pa.array(order[:, 0].astype(np.int32), pa.int32()),
-                    pa.array(
-                        list(order[:, :nprobe].astype(np.int32)),
-                        pa.list_(pa.int32()),
-                    ),
+                    probes,
                 ],
                 schema=pa.schema(
                     [
