@@ -178,16 +178,30 @@ def _q_token_abundance(spark, sf):
     return token_abundance_filter(_docs(spark, sf), ABUN_LO, ABUN_HI)
 
 
+def _docs_planted_dups(spark, sf):
+    """Driver corpus + deterministically planted exact duplicates (every
+    doc_id ≡ 0 mod 97 re-keyed at +10M). The raw driver corpus has ZERO
+    byte-identical texts, which made the exact-dup oracle rows vacuous
+    (0-vs-0); the planted twin — mirrored verbatim in the oracle SQL —
+    makes them bite. Non-driver coverage with planted dups lives in
+    tests/test_pipeline.py / test_ops.py."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
 def _q_exact_dup_pairs(spark, sf):
     from finchspark.operators.dedup import exact_dup_pairs
 
-    return exact_dup_pairs(_docs(spark, sf))
+    return exact_dup_pairs(_docs_planted_dups(spark, sf))
 
 
 def _q_exact_dup_clusters(spark, sf):
     from finchspark.operators.dedup import exact_dup_clusters
 
-    return exact_dup_clusters(_docs(spark, sf))
+    return exact_dup_clusters(_docs_planted_dups(spark, sf))
 
 
 def _ngram_pairs(spark, sf):
@@ -853,12 +867,22 @@ select doc_id, token, count(*) as depth from tok group by doc_id, token
 having count(*) between {ABUN_LO} and {ABUN_HI}
 """,
         "exact_dup_pairs": """
+with d as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 10000000 as doc_id, text from documents where doc_id % 97 = 0
+)
 select a.doc_id as key_a, b.doc_id as key_b
-from documents a join documents b on a.text = b.text and a.doc_id < b.doc_id
+from d a join d b on a.text = b.text and a.doc_id < b.doc_id
 """,
         "exact_dup_clusters": """
+with d as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 10000000 as doc_id, text from documents where doc_id % 97 = 0
+)
 select doc_id, min(doc_id) over (partition by md5(text)) as cluster_id
-from documents
+from d
 qualify count(*) over (partition by md5(text)) > 1
 """,
         "ngram_jaccard": _NGRAM_PAIRS + "select key_a, key_b, jaccard, containment from pairs",
