@@ -402,22 +402,34 @@ def _q_lsh_candidates(spark, sf):
     return pairs
 
 
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
 def _q_near_dup_pairs(spark, sf):
+    """Verified near-dup pairs, persisted per sf_dir so downstream queries
+    (span_dedup) reuse the materialized result instead of recomputing the
+    LSH+verify subtree (same discipline as _SIG_CACHE)."""
     from finchspark.operators.lsh import candidate_pairs
     from finchspark.operators.verify import verify_pairs
 
-    sigs = _signatures(spark, sf)
-    cands, _ = candidate_pairs(sigs, _cfg().lsh, key_col="doc_id")
-    v = verify_pairs(cands, sigs, _cfg(), key_col="doc_id")
-    return v.filter(F.col("jaccard") >= JACC_T).select(
-        "key_a",
-        "key_b",
-        F.round("jaccard", 9).alias("jaccard"),
-        F.round("containment", 9).alias("containment"),
-        F.round("mash_distance", 9).alias("mash_distance"),
-        "common_hashes",
-        "total_hashes",
-    )
+    if sf not in _PAIRS_CACHE:
+        sigs = _signatures(spark, sf)
+        cands, _ = candidate_pairs(sigs, _cfg().lsh, key_col="doc_id")
+        v = verify_pairs(cands, sigs, _cfg(), key_col="doc_id")
+        _PAIRS_CACHE[sf] = (
+            v.filter(F.col("jaccard") >= JACC_T)
+            .select(
+                "key_a",
+                "key_b",
+                F.round("jaccard", 9).alias("jaccard"),
+                F.round("containment", 9).alias("containment"),
+                F.round("mash_distance", 9).alias("mash_distance"),
+                "common_hashes",
+                "total_hashes",
+            )
+            .persist()
+        )
+    return _PAIRS_CACHE[sf]
 
 
 def _q_cc_neardup(spark, sf):
