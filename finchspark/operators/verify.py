@@ -255,3 +255,39 @@ def weighted_jaccard_pairs(
         .otherwise(F.lit(1.0))
         .alias("weighted_jaccard"),
     )
+
+
+def pairwise_distances(
+    signatures: DataFrame,
+    config: PipelineConfig,
+    key_col: str = "doc_id",
+    max_distance: float = 1.0,
+    max_inputs: int = 10_000,
+) -> DataFrame:
+    """finch's true pairwise `dist` surface (D4, `calc_sketch_distances`,
+    `cli/src/main.rs:315-334`): every ORDERED (query, reference) pair with
+    query != reference, kept when mash_distance <= max_distance.
+    Containment is directional, so both orientations are emitted — exactly
+    the reference's O(Q×R) loop.
+
+    This is deliberately the small-corpus surface (finch compares dozens of
+    genomes; the CLI exposes it behind --pairwise): the crossJoin is O(n²)
+    BY CONTRACT, so `max_inputs` hard-fails beyond a size where n² pairs is
+    sane rather than letting a 10^6-doc table explode. The scale path for
+    large corpora is LSH candidates + verify (`operators/lsh.py`).
+    """
+    n = signatures.count()
+    if n > max_inputs:
+        raise ValueError(
+            f"pairwise_distances is the O(n²) small-corpus surface: got {n} "
+            f"sketches > max_inputs={max_inputs}; use candidate_pairs + "
+            "verify_pairs (LSH) for large corpora"
+        )
+    keys = signatures.select(key_col)
+    pairs = (
+        keys.select(F.col(key_col).alias("key_a"))
+        .crossJoin(keys.select(F.col(key_col).alias("key_b")))
+        .filter(F.col("key_a") != F.col("key_b"))
+    )
+    out = verify_pairs(pairs, signatures, config, key_col=key_col)
+    return out.filter(F.col("mash_distance") <= max_distance)

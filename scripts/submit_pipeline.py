@@ -38,6 +38,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-dist", type=float, default=None)
     ap.add_argument("--resume", action="store_true", help="reuse completed stage checkpoints")
     ap.add_argument(
+        "--pairwise",
+        action="store_true",
+        help="finch's true pairwise dist surface (D4): O(n^2) ordered "
+        "(query, reference) distances over a SMALL sketch set, written as "
+        "a finch-shaped SketchDistance JSON array to <output>/distances.json "
+        "(hard-fails beyond --pairwise-max-inputs docs; large corpora use "
+        "the default LSH pipeline)",
+    )
+    ap.add_argument("--pairwise-max-inputs", type=int, default=10_000)
+    ap.add_argument(
         "--collapse-exact",
         action="store_true",
         help="collapse byte-identical docs to one representative before "
@@ -66,6 +76,46 @@ def main(argv: list[str] | None = None) -> int:
         jaccard_threshold=args.jaccard_threshold,
         max_dist=args.max_dist,
     )
+    if args.pairwise:
+        import json
+        from pathlib import Path
+
+        from finchspark.operators.signature import build_signatures
+        from finchspark.operators.verify import pairwise_distances
+
+        docs = spark.read.parquet(args.input)
+        sigs = build_signatures(
+            docs, cfg, key_cols=(args.key_col,), content_col=args.content_col
+        ).persist()
+        dists = pairwise_distances(
+            sigs,
+            cfg,
+            key_col=args.key_col,
+            max_distance=args.max_dist if args.max_dist is not None else 1.0,
+            max_inputs=args.pairwise_max_inputs,
+        )
+        rows = dists.orderBy("key_a", "key_b").collect()
+        out = [
+            {
+                "containment": r["containment"],
+                "jaccard": r["jaccard"],
+                "mashDistance": r["mash_distance"],
+                "commonHashes": r["common_hashes"],
+                "totalHashes": r["total_hashes"],
+                "query": str(r["key_a"]),
+                "reference": str(r["key_b"]),
+            }
+            for r in rows
+        ]
+        Path(args.output).mkdir(parents=True, exist_ok=True)
+        (Path(args.output) / "distances.json").write_text(json.dumps(out))
+        print(
+            f"finchspark: {len(out)} pairwise distances -> "
+            f"{args.output}/distances.json",
+            file=sys.stderr,
+        )
+        return 0
+
     store = TableStore(args.output, cfg.params_hash())
     if not args.resume:
         # a fresh run must not silently reuse old stages

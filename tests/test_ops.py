@@ -714,3 +714,40 @@ def test_merge_size_none_mega_group_guard(spark):
         merge_signatures_by(sigs, "grp", size=None, max_group_hashes=500).collect()
     ok = merge_signatures_by(sigs, "grp", size=None).collect()
     assert len(ok) == 1 and len(ok[0]["hashes"]) == 1000
+
+
+def test_cli_pairwise_smoke(spark, tmp_path):
+    """D4 CLI surface (`--pairwise`): finch-shaped SketchDistance JSON for a
+    10-doc table — every ordered non-self pair at max_dist=1.0, camelCase
+    keys, both orientations for planted identical docs, and the O(n²)
+    input-size guard (`calc_sketch_distances`, cli/src/main.rs:315-334)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import submit_pipeline
+
+    base = "def f(x):\n    return x * 2\n" * 10
+    rows = [(i, base + f"# tail {i}\n" * 3) for i in range(8)]
+    rows += [(8, base), (9, base)]  # planted identical pair
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "run")
+    rc = submit_pipeline.main(["--input", inp, "--output", out, "--pairwise"])
+    assert rc == 0
+    dist = json.loads((tmp_path / "run" / "distances.json").read_text())
+    assert len(dist) == 10 * 9  # ordered, no self-pairs, max_dist=1.0
+    assert set(dist[0]) == {
+        "containment", "jaccard", "mashDistance", "commonHashes",
+        "totalHashes", "query", "reference",
+    }
+    ident = [d for d in dist if d["jaccard"] == 1.0]
+    assert {(d["query"], d["reference"]) for d in ident} == {("8", "9"), ("9", "8")}
+    assert all(d["mashDistance"] == 0.0 for d in ident)
+    # the guard hard-fails an oversized input
+    with pytest.raises(ValueError, match="small-corpus"):
+        submit_pipeline.main(
+            ["--input", inp, "--output", out, "--pairwise",
+             "--pairwise-max-inputs", "5"]
+        )
