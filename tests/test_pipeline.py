@@ -297,3 +297,75 @@ def test_tablestore_append_lineage_per_write(spark, cfg, tmp_path):
     assert sum(meta["partition_rows"].values()) == 60
     assert store.read("s").count() == 160
     assert set(store.read("s").columns) == {"id"}
+
+
+def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
+    """IcebergTableStore issues the exact DataFrameWriterV2 call sequence
+    (writeTo(ns.stage).using(fmt).createOrReplace()/append(), read via
+    spark.read.table) and inherits the params-hash resume gate + per-write
+    lineage. No Iceberg jars in-sandbox, so the catalog is mocked with a
+    parquet-backed fake recording each V2 call."""
+    from finchspark.plans.checkpoint import IcebergTableStore
+
+    calls = []
+    tables = {}  # catalog table name -> backing parquet path
+
+    class FakeV2Writer:
+        def __init__(self, df, name):
+            self.df, self.name = df, name
+
+        def using(self, fmt):
+            calls.append(("using", self.name, fmt))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.name))
+            p = str(tmp_path / "wh" / self.name.replace(".", "_"))
+            self.df.write.mode("overwrite").parquet(p)
+            tables[self.name] = p
+
+        def append(self):
+            calls.append(("append", self.name))
+            self.df.write.mode("append").parquet(tables[self.name])
+
+    # patch the CONCRETE classes (pyspark 4 routes through
+    # pyspark.sql.classic subclasses; the abstract bases are never hit)
+    monkeypatch.setattr(
+        type(spark.range(1)), "writeTo", lambda self, name: FakeV2Writer(self, name)
+    )
+    monkeypatch.setattr(
+        type(spark.read), "table", lambda self, name: spark.read.parquet(tables[name])
+    )
+    monkeypatch.setattr(
+        type(spark.catalog),
+        "tableExists",
+        lambda self, name, dbName=None: name in tables,
+    )
+
+    store = IcebergTableStore(
+        tmp_path / "meta", cfg.params_hash(), namespace="finch.neardup"
+    )
+    out = store.write("signatures", spark.range(50).repartition(4))
+    assert out.count() == 50
+    assert ("using", "finch.neardup.signatures", "parquet") in calls
+    assert ("createOrReplace", "finch.neardup.signatures") in calls
+
+    store.write("signatures", spark.range(50, 60).repartition(2), mode="append")
+    assert ("append", "finch.neardup.signatures") in calls
+    meta = store.read_meta("signatures")
+    assert meta["row_count"] == 60 and meta["write_row_count"] == 10
+    assert meta["n_partitions"] == 2
+
+    ran = {"compute": False}
+
+    def compute():
+        ran["compute"] = True
+        return spark.range(5)
+
+    got = store.get_or_compute("signatures", compute)  # resume, no recompute
+    assert not ran["compute"] and got.count() == 60
+    assert set(got.columns) == {"id"}  # lineage tags stripped on read
+
+    other = IcebergTableStore(tmp_path / "meta", "other-hash", namespace="finch.neardup")
+    with pytest.raises(ParamsMismatch):
+        other.get_or_compute("signatures", compute)
