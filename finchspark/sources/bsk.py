@@ -21,9 +21,16 @@ specialized to that one schema:
 Field offsets follow capnp's documented first-fit layout of the schema's
 declaration order; they are fixed constants here (the schema is frozen —
 `finch.capnp` carries its file id). Layout of each struct is documented at
-its pack/unpack site. Round-trip is property-tested; parity against a
-reference-written file cannot be run in this sandbox (no Rust toolchain /
-network) and is called out in SURVEY §2.1.
+its pack/unpack site. Verification is three-fold: (1) round-trip property
+tests; (2) byte-level wire pins (header, pointer kinds, word layout); and
+(3) an INDEPENDENT schema-driven decoder (`tests/capnp_schema.py`) that
+parses the reference's own `finch.capnp`, re-derives every field offset
+mechanically with the spec's first-fit algorithm, and decodes this
+writer's bytes sharing no code with this module
+(`test_bsk_decodes_under_reference_schema`). A byte stream produced by the
+actual Rust writer has still never been read back (no Rust toolchain /
+network in the sandbox) — the residual risk is limited to the two
+implementations interpreting the SPEC differently, not the schema.
 """
 from __future__ import annotations
 

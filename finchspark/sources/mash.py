@@ -28,6 +28,14 @@ Reference (data 3 words, 7 ptrs):
   @9 numValidKmers u64 w2
 
 ReferenceList / LocusList: 0 data words, 1 pointer.
+
+These offsets are additionally verified against a mechanical first-fit
+derivation from the reference's own `mash.capnp` by an independent
+schema-driven decoder (`tests/capnp_schema.py`,
+`test_msh_decodes_under_reference_schema`) — including the
+out-of-declaration-order ordinals and the hashSeed=42 XOR default. Parity
+against a mash/finch-written binary remains untestable in-sandbox (no
+toolchain/network); residual risk is spec-interpretation only.
 """
 from __future__ import annotations
 

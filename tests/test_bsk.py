@@ -134,3 +134,45 @@ def test_spark_shard_roundtrip_matches_signature_stage(spark, tmp_path):
         for r in back.collect()
     }
     assert a == b
+
+
+def test_bsk_decodes_under_reference_schema():
+    """Writer bytes decoded by an INDEPENDENT schema-driven reader whose
+    field layout is computed mechanically from the reference's frozen
+    finch.capnp (tests/capnp_schema.py) — pins the hand-rolled codec's
+    layout to the schema instead of to its own constants."""
+    from tests.capnp_schema import SchemaDecoder
+
+    schema = open("/root/reference/lib/src/serialization/finch.capnp").read()
+    sks = [
+        _mk("alpha", 4, 5, sketch_type="scaled", scale=0.5, hash_seed=7,
+            kmers_to_sketch=64, final_size=32),
+        _mk("beta", 0, 6),
+    ]
+    sks[0].filter_params = FilterParams(
+        filter_on=True, abun_filter_low=2, abun_filter_high=9,
+        err_filter=0.25, strand_filter=0.125,
+    )
+    ms = SchemaDecoder(write_bsk_bytes(sks), schema).root("Multisketch")
+    assert len(ms["sketches"]) == 2
+    s0 = ms["sketches"][0]
+    assert s0["name"] == "alpha" and s0["comment"] == ""
+    assert s0["seqLength"] == 100 and s0["numValidKmers"] == 96
+    for j, kc in enumerate(s0["hashes"]):
+        assert kc["hash"] == int(sks[0].hashes.hashes[j])
+        assert kc["count"] == int(sks[0].hashes.counts[j])
+        assert kc["extraCount"] == int(sks[0].hashes.extra_counts[j])
+        assert kc["kmer"] == sks[0].hashes.kmers[j]
+        assert kc["label"] is None
+    assert s0["filterParams"] == {
+        "filtered": True, "lowAbunFilter": 2, "highAbunFilter": 9,
+        "errFilter": 0.25, "strandFilter": 0.125,
+    }
+    sp = s0["sketchParams"]
+    assert sp["sketchMethod"] == 1  # murmurHash3Scaled @1
+    assert sp["kmerLength"] == sks[0].params.kmer_length
+    assert sp["kmersToSketch"] == 64 and sp["finalSize"] == 32
+    assert sp["hashSeed"] == 7 and sp["scale"] == 0.5
+    assert sp["noStrict"] == sks[0].params.no_strict
+    s1 = ms["sketches"][1]
+    assert s1["name"] == "beta" and s1["hashes"] == []

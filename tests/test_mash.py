@@ -75,3 +75,33 @@ def test_msh_counts_absent_defaults_to_one():
     assert (back[0].hashes.counts == 1).all()
     assert (back[0].hashes.extra_counts == 0).all()
     assert (back[0].hashes.hashes == sk.hashes.hashes).all()
+
+
+def test_msh_decodes_under_reference_schema():
+    """Writer bytes decoded by the independent schema-driven reader
+    (layout derived from the reference's mash.capnp, including the
+    out-of-declaration-order ordinals and the hashSeed=42 XOR default)."""
+    from tests.capnp_schema import SchemaDecoder
+
+    schema = open("/root/reference/lib/src/serialization/mash.capnp").read()
+    sks = [_mk("one", 5, 1), _mk("two", 0, 2)]
+    for s in sks:
+        s.params = SketchParams(sketch_type="mash", kmer_length=21, hash_seed=7)
+    mh = SchemaDecoder(write_msh_bytes(sks), schema).root("MinHash")
+    assert mh["kmerSize"] == 21 and mh["windowSize"] == 21
+    assert mh["minHashesPerWindow"] == 5  # largest sketch
+    assert mh["concatenated"] is True
+    assert mh["noncanonical"] is False and mh["preserveCase"] is False
+    assert mh["error"] == 0.0 and mh["alphabet"] == "ACGT"
+    assert mh["hashSeed"] == 7  # stored XOR 42; schema default round-trips it
+    assert mh["referenceListOld"] is None and mh["locusList"] is None
+    refs = mh["referenceList"]["references"]
+    assert [r["name"] for r in refs] == ["one", "two"]
+    for s, r in zip(sks, refs):
+        assert r["length64"] == 1000 and r["numValidKmers"] == 980
+        assert r["length"] == 0  # reference sets only length64
+        assert r["comment"] == ""
+        assert r["sequence"] is None and r["quality"] is None
+        assert r["hashes32"] is None
+        assert (r["hashes64"] or []) == [int(h) for h in s.hashes.hashes]
+        assert (r["counts32"] or []) == [int(c) for c in s.hashes.counts]
