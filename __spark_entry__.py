@@ -500,6 +500,45 @@ def _q_span_coverage(spark, sf):
     )
 
 
+def _q_pairwise_full(spark, sf):
+    """finch's true pairwise dist surface (D4) in complete-sketch exact
+    mode over a 40-doc subset: every ORDERED (query, reference) pair,
+    directional containment — each column has an ANSI-SQL twin over the
+    raw 21-gram sets (`calc_sketch_distances`, cli/src/main.rs:315-334)."""
+    from finchspark.operators.verify import pairwise_distances
+
+    sigs = _signatures_full(spark, sf).filter(F.col("doc_id") < 40)
+    out = pairwise_distances(
+        sigs, _cfg(), key_col="doc_id", max_distance=1.0, assume_complete=True
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "jaccard",
+        "containment",
+        F.round("mash_distance", 9).alias("mash_distance"),
+        "common_hashes",
+        "total_hashes",
+    )
+
+
+def _q_merged_exploded(spark, sf):
+    """The size=None SCALE path of the repo-level merge: merged sets kept
+    as (group, hash, count) rows, never assembled per-group. Hash values
+    are murmur-bound, but the per-source aggregate (distinct-hash count +
+    summed counts) is exactly SQL-expressible over complete sketches."""
+    from finchspark.operators.merge import merge_signatures_exploded
+
+    sigs = _signatures_full(spark, sf).join(
+        _docs(spark, sf).select("doc_id", "source"), "doc_id"
+    )
+    rows = merge_signatures_exploded(sigs, "source")
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.sum("count").alias("total_count"),
+    )
+
+
 def _q_merged_signatures(spark, sf):
     from finchspark.operators.merge import merge_signatures_by
 
@@ -682,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_neardup_full": _q_cc_neardup_full,
         "span_coverage": _q_span_coverage,
         "merged_signatures": _q_merged_signatures,
+        "merged_exploded": _q_merged_exploded,
+        "pairwise_full": _q_pairwise_full,
         "repo_jaccard": _q_repo_jaccard,
         "dedup_corpus": _q_dedup_corpus,
         "simhash_pairs": _q_simhash_pairs,
@@ -1083,6 +1124,36 @@ from documents d
 left join comp c on c.node = d.doc_id
 left join sizes s on s.component = d.doc_id
 where c.node is null or c.component = d.doc_id
+""",
+        "pairwise_full": f"""
+with g as (select doc_id, {_KGRAMS} as grams from documents where doc_id < 40),
+p as (
+  select a.doc_id as key_a, b.doc_id as key_b,
+         len(list_intersect(a.grams, b.grams)) as inter,
+         len(a.grams) as na, len(b.grams) as nb
+  from g a join g b on a.doc_id != b.doc_id
+),
+q as (
+  select key_a, key_b,
+    case when na + nb - inter > 0
+         then inter / cast(na + nb - inter as double) else 1.0 end as jaccard,
+    case when nb > 0 then inter / cast(nb as double) else 0.0 end as containment,
+    inter as common_hashes,
+    na + nb - inter as total_hashes
+  from p
+)
+select key_a, key_b, jaccard, containment,
+  round(case when jaccard <= 0.0 then 1.0
+        else least(1.0, greatest(0.0, -ln(2*jaccard/(1+jaccard))/{K})) end, 9)
+    as mash_distance,
+  common_hashes, total_hashes
+from q
+""",
+        "merged_exploded": f"""
+with g as (select doc_id, source, {_KGRAMS_ALL} as grams from documents),
+t as (select source, unnest(grams) as gram from g)
+select source, count(distinct gram) as n_hashes, count(*) as total_count
+from t group by source
 """,
         "merged_signatures": f"""
 with g as (select doc_id, source, {_KGRAMS} as grams from documents),

@@ -263,6 +263,7 @@ def pairwise_distances(
     key_col: str = "doc_id",
     max_distance: float = 1.0,
     max_inputs: int = 10_000,
+    assume_complete: bool = False,
 ) -> DataFrame:
     """finch's true pairwise `dist` surface (D4, `calc_sketch_distances`,
     `cli/src/main.rs:315-334`): every ORDERED (query, reference) pair with
@@ -289,5 +290,7 @@ def pairwise_distances(
         .crossJoin(keys.select(F.col(key_col).alias("key_b")))
         .filter(F.col("key_a") != F.col("key_b"))
     )
-    out = verify_pairs(pairs, signatures, config, key_col=key_col)
+    out = verify_pairs(
+        pairs, signatures, config, key_col=key_col, assume_complete=assume_complete
+    )
     return out.filter(F.col("mash_distance") <= max_distance)
