@@ -232,3 +232,61 @@ def connected_components(
     return comp.union(roots).groupBy("node").agg(
         F.min("component").alias("component")
     )
+
+
+def connected_components_incremental(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """Incrementally maintained component map: given `prev` = (node,
+    component) from the corpus so far and `new_edges` = (src, dst) involving
+    at least one new member (the incremental LSH stage's contract,
+    `lsh.candidate_pairs_incremental`), return the exact (node, component)
+    map of the UNION graph — per-epoch cost bounded by the delta, never a
+    full recompute.
+
+    Method: contract every previous component to its representative
+    (component id == min member id), project the new edges onto
+    representatives (nodes unknown to `prev` project to themselves), run the
+    batch CC on that DELTA GRAPH only, then remap previous assignments
+    through the delta result and append newly clustered nodes.
+
+    EXACTNESS (not an approximation): component ids are min member ids, so
+    each prev rep is the min of its members; the delta CC's label for a
+    merged group is the min over {touched reps, new node ids} = min over all
+    underlying members = exactly the id batch CC assigns over the full edge
+    set. Components untouched by new edges keep their labels (left-join
+    miss). Property-tested against a full recompute over random epoch splits
+    (tests/test_cc.py).
+
+    Shuffle budget per epoch: two broadcast-friendly joins of the delta
+    edges against `prev` (Catalyst broadcasts `prev` projections under
+    AQE when small; at 10^12-node scale the join keys are only the delta's
+    endpoints, so a storage layer with point lookups — Iceberg + bucketed
+    `prev` — keeps this O(|delta|)), one CC over the contracted delta graph
+    (O(log |delta|) rounds), one join to remap touched components.
+    """
+    # project endpoints onto previous representatives
+    ra = prev.select(F.col("node").alias("src"), F.col("component").alias("__ra"))
+    rb = prev.select(F.col("node").alias("dst"), F.col("component").alias("__rb"))
+    proj = (
+        new_edges.select("src", "dst")
+        .join(ra, "src", "left")
+        .join(rb, "dst", "left")
+        .select(
+            F.coalesce("__ra", F.col("src")).alias("src"),
+            F.coalesce("__rb", F.col("dst")).alias("dst"),
+        )
+    )
+    delta = connected_components(proj, **cc_kwargs)
+    # remap previous components whose representative was merged
+    remap = delta.select(
+        F.col("node").alias("component"), F.col("component").alias("__new")
+    )
+    kept = prev.join(remap, "component", "left").select(
+        "node", F.coalesce("__new", F.col("component")).alias("component")
+    )
+    # nodes first clustered this epoch (absent from prev)
+    fresh = delta.join(prev.select("node"), "node", "left_anti")
+    return kept.unionByName(fresh.select("node", "component"))

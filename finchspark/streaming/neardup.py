@@ -21,10 +21,15 @@ is tracked by the Structured Streaming checkpoint, so a restart resumes at
 the failed epoch; the parquet appends themselves are transactional only on
 a table format that makes them so (Iceberg/Delta) — a mid-epoch crash
 between the pairs append and the store append can duplicate that epoch's
-rows on parquet. Clustering stays a periodic batch compaction
-(`operators.cc.connected_components` over the pairs table); a
-continuously-maintained clustering would need `applyInPandasWithState`
-and has no reference semantics to match.
+rows on parquet.
+
+Clustering: pass `components_path` for a CONTINUOUSLY-MAINTAINED component
+map — each epoch's verified pairs are contracted into the previous map via
+`cc.connected_components_incremental` (provably identical to a full
+recompute; per-epoch cost bounded by the delta, not the corpus) and written
+as a new `v=<n>` version, with the previous version retained as the
+crash-restart point. Without it, clustering stays a periodic batch
+compaction (`operators.cc.connected_components` over the pairs table).
 """
 from __future__ import annotations
 
@@ -40,6 +45,22 @@ from ..operators.signature import build_signatures
 from ..operators.verify import verify_pairs
 
 
+def _latest_components(spark, components_path: str):
+    """(DataFrame | None, latest version int) for the versioned component
+    map under `components_path` (one `v=<n>` subdir per completed epoch)."""
+    if not os.path.isdir(components_path):
+        return None, -1
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(components_path)
+        if d.startswith("v=")
+    )
+    if not versions:
+        return None, -1
+    v = versions[-1]
+    return spark.read.parquet(f"{components_path}/v={v}"), v
+
+
 def neardup_stream(
     stream_df: DataFrame,
     config: PipelineConfig,
@@ -50,6 +71,7 @@ def neardup_stream(
     content_col: str = "content",
     filters=None,
     available_now: bool = True,
+    components_path: str | None = None,
 ) -> StreamingQuery:
     """Start the incremental near-dup query.
 
@@ -86,13 +108,50 @@ def neardup_stream(
                 new_sigs, all_sigs, config.lsh, key_col
             )
             pairs = verify_pairs(cands, all_sigs, config, key_col=key_col)
+            kept = pairs.filter(
+                F.col("jaccard") >= config.jaccard_threshold
+            ).persist()
             (
-                pairs.filter(F.col("jaccard") >= config.jaccard_threshold)
-                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                kept.withColumn("epoch_id", F.lit(int(epoch_id)))
                 .write.mode("append")
                 .parquet(pairs_path)
             )
+            if components_path is not None:
+                # continuously-maintained clustering: contract-and-merge the
+                # epoch's pairs into the versioned component map — per-epoch
+                # compute bounded by the delta (cc.connected_components_
+                # incremental docstring proves exact equality with a full
+                # recompute). Versioned `v=<n>` dirs instead of overwrite:
+                # Spark cannot overwrite a path it is reading, and the last
+                # completed version doubles as the crash-restart point. On
+                # Iceberg this becomes a MERGE into one table.
+                from ..operators.cc import (
+                    connected_components,
+                    connected_components_incremental,
+                )
+
+                edges = kept.select(
+                    F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+                )
+                prev, v = _latest_components(spark, components_path)
+                comp = (
+                    connected_components(edges)
+                    if prev is None
+                    else connected_components_incremental(prev, edges)
+                )
+                comp.write.mode("overwrite").parquet(
+                    f"{components_path}/v={v + 1}"
+                )
+                # retain current + previous version only
+                import shutil
+
+                for d in os.listdir(components_path):
+                    if d.startswith("v=") and int(d.split("=", 1)[1]) < v:
+                        shutil.rmtree(
+                            os.path.join(components_path, d), ignore_errors=True
+                        )
             new_sigs.write.mode("append").parquet(store_path)
+            kept.unpersist()
         finally:
             new_sigs.unpersist()
 

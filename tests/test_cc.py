@@ -139,3 +139,45 @@ def test_cc_small_graph_path_equals_star_path(spark):
     # the fast-path plan is a single stage: no star-round joins
     plan = connected_components(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_cc_incremental_matches_full_recompute(spark, seed):
+    """connected_components_incremental over random epoch splits equals the
+    batch CC over the union edge set AFTER EVERY EPOCH — exactness, not
+    approximation (min-id labels make the contracted delta graph's labels
+    identical to the full graph's)."""
+    import random
+
+    from finchspark.operators.cc import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(0, 120), rng.randrange(0, 120)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    cuts = sorted(rng.sample(range(1, len(edges)), 3))
+    epochs = [
+        edges[i:j] for i, j in zip([0] + cuts, cuts + [len(edges)])
+    ]
+
+    prev = None
+    seen: list = []
+    for ep in epochs:
+        seen.extend(ep)
+        e = spark.createDataFrame(ep, "src long, dst long")
+        prev = (
+            connected_components(e)
+            if prev is None
+            else connected_components_incremental(prev, e)
+        )
+        got = {(r["node"], r["component"]) for r in prev.collect()}
+        full = connected_components(
+            spark.createDataFrame(seen, "src long, dst long")
+        )
+        want = {(r["node"], r["component"]) for r in full.collect()}
+        assert got == want
+        prev = spark.createDataFrame(sorted(got), "node long, component long")

@@ -173,3 +173,65 @@ def test_candidate_pairs_incremental_caps_store_buckets(spark, cfg):
     assert candidate_pairs_incremental(new, sigs, capped.lsh).count() == 0
     uncapped = candidate_pairs_incremental(new, sigs, cfg.lsh)
     assert uncapped.count() == 11  # doc 0 paired with every other member
+
+
+def test_neardup_stream_continuous_clustering(spark, cfg, tmp_path):
+    """With components_path set, the stream maintains the component map
+    incrementally per epoch; the final version equals the batch pipeline's
+    LSH-path components over the full corpus, and old versions are pruned
+    to current + previous."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finchspark.operators.cc import connected_components
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.verify import verify_pairs
+    from finchspark.sources.synth import synth_documents
+    from finchspark.streaming.neardup import neardup_stream
+
+    docs, _ = synth_documents(n_base=36)
+    rows = [(d["doc_id"], d["content"]) for d in docs]
+
+    src = tmp_path / "incoming"
+    comp_out = str(tmp_path / "components")
+    src.mkdir()
+    for chunk in (rows[:11], rows[11:40], rows[40:]):
+        _docs(spark, chunk).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = neardup_stream(
+        stream,
+        cfg,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        components_path=comp_out,
+    )
+    q.awaitTermination(240)
+
+    versions = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(comp_out) if d.startswith("v=")
+    )
+    assert len(versions) == 2, "current + previous version only"
+    got = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(f"{comp_out}/v={versions[-1]}").collect()
+    }
+
+    sigs = build_signatures(_docs(spark, rows), cfg, key_cols=("doc_id",))
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    pairs = verify_pairs(cands, sigs, cfg, key_col="doc_id").filter(
+        F.col("jaccard") >= cfg.jaccard_threshold
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        ).collect()
+    }
+    assert want and got == want
