@@ -14,6 +14,9 @@ identical across reps.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_REPS (default 3: interleaved best-of-k per stage),
+     SPARK_GRAFT_CORPUS (optional: path to a pre-built corpus parquet —
+       file or sharded directory — with the FIXTURES.md §B schema; takes
+       precedence over SPARK_GRAFT_SYNTH),
      SPARK_GRAFT_SYNTH (optional: n_base for the deterministic synthetic
        source-code corpus, FIXTURES.md §B — e.g. 30000 ≈ 50k files; the
        corpus parquet is generated once and cached under /tmp),
@@ -82,8 +85,17 @@ def main() -> None:
         jaccard_threshold=0.5,
     )
 
+    corpus = os.environ.get("SPARK_GRAFT_CORPUS")
     synth_n = os.environ.get("SPARK_GRAFT_SYNTH")
-    if synth_n:
+    if corpus:
+        # pre-built corpus path (file or sharded directory) with the
+        # FIXTURES.md §B schema — used by scripts/job_scaling.py for the
+        # multi-GB job-level scaling corpora that the per-run synth cache
+        # below is too slow to build single-process
+        docs = spark.read.parquet(corpus)
+        content_col = "content"
+        sf = os.path.basename(corpus.rstrip("/"))
+    elif synth_n:
         from finchspark.sources.synth import write_synth_parquet
 
         n_base = int(synth_n)

@@ -134,3 +134,54 @@ def write_synth_parquet(path: str, n_base: int, seed: int = 42) -> int:
     # wall time at local[2] and local[8] until this was fixed)
     pq.write_table(table, path, row_group_size=2500)
     return len(docs)
+
+
+def _write_shard(args: tuple) -> int:
+    dir_path, shard, n_base_shard, seed, stride = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # per-shard seed is a pure function of (seed, shard): the corpus is
+    # deterministic for a given (n_base, n_shards, seed) triple, and every
+    # shard is independent — exactly how a 100 TB corpus would be produced
+    # by N writers, each owning a doc_id range
+    docs, _ = synth_documents(n_base=n_base_shard, seed=(seed << 20) | shard)
+    off = shard * stride
+    cols = {
+        k: [d[k] for d in docs]
+        for k in ("doc_id", "repo", "path", "commit", "lang", "content")
+    }
+    cols["doc_id"] = [i + off for i in cols["doc_id"]]
+    pq.write_table(
+        pa.table(cols),
+        f"{dir_path}/part-{shard:05d}.parquet",
+        row_group_size=2500,
+    )
+    return len(docs)
+
+
+def write_synth_parquet_sharded(
+    dir_path: str,
+    n_base: int,
+    seed: int = 42,
+    n_shards: int = 32,
+    processes: int | None = None,
+) -> int:
+    """Parallel sharded corpus writer for large scaling corpora (multi-GB:
+    the single-file writer is one ~18 MB/s python process and would hold the
+    whole corpus in memory). Writes `n_shards` independent parquet files
+    under `dir_path` from a process pool; doc_ids are disjoint per shard
+    (shard-offset stride), duplicate structure is planted intra-shard.
+    Deterministic in (n_base, n_shards, seed). Returns total docs."""
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    per = -(-n_base // n_shards)  # ceil
+    # each base row adds at most 2 docs, plus 5 edge rows per shard
+    stride = 2 * per + 16
+    jobs = [(dir_path, s, per, seed, stride) for s in range(n_shards)]
+    procs = processes or min(n_shards, os.cpu_count() or 8)
+    with mp.get_context("spawn").Pool(procs) as pool:
+        counts = pool.map(_write_shard, jobs)
+    return sum(counts)
