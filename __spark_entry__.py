@@ -484,6 +484,37 @@ def _q_cc_neardup_full(spark, sf):
     ).components
 
 
+def _q_cc_incremental_full(spark, sf):
+    """The continuously-maintained clustering path (the streaming mode's
+    epoch fold, `cc.connected_components_incremental`) value-checked through
+    the driver gate: the exact near-dup pair set is split into three
+    deterministic epochs and folded incrementally — contract previous
+    components to representatives, CC the delta graph, remap — and the
+    final map must equal the batch transitive closure (same recursive-CTE
+    oracle as `cc_exact`). This is the exactness claim
+    `neardup_stream(components_path=...)` relies on, proven on driver data
+    end-to-end rather than only property-tested."""
+    from finchspark.operators.cc import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    pairs = _q_near_dup_pairs_full(spark, sf).select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+    )
+    prev = None
+    for epoch in range(3):
+        ep = pairs.filter(
+            F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == epoch
+        )
+        prev = (
+            connected_components(ep)
+            if prev is None
+            else connected_components_incremental(prev, ep)
+        )
+    return prev
+
+
 def _q_span_coverage(spark, sf):
     """Span-dedup coverage with an exact SQL twin: a byte of A is covered by
     a common substring >= 32 bytes iff some common 32-gram's window contains
@@ -719,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_full": _q_near_dup_pairs_full,
         "cc_neardup": _q_cc_neardup,
         "cc_neardup_full": _q_cc_neardup_full,
+        "cc_incremental_full": _q_cc_incremental_full,
         "span_coverage": _q_span_coverage,
         "merged_signatures": _q_merged_signatures,
         "merged_exploded": _q_merged_exploded,
@@ -838,6 +870,9 @@ def oracle_sql() -> dict[str, str]:
     # the complete-sketch pipeline's components equal the transitive closure
     # of the exact near-dup graph (same value oracle as the CC operator)
     out["cc_neardup_full"] = out["cc_exact"]
+    # the incremental epoch fold is provably identical to the batch closure
+    # (cc.connected_components_incremental docstring): same oracle again
+    out["cc_incremental_full"] = out["cc_exact"]
     return out
 
 

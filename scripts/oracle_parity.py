@@ -1,6 +1,7 @@
 """Full driver-style parity sweep at a given SF (default sf0.01).
 
-Usage: python scripts/oracle_parity.py [sf_dir]
+Usage: python scripts/oracle_parity.py [sf_dir] [query_name ...]
+With query names given, checks only those; otherwise the full sweep.
 Prints per-query PASS/FAIL with row counts; exit 1 on any failure.
 """
 from __future__ import annotations
@@ -51,6 +52,12 @@ def main() -> int:
 
     oracles = entry.oracle_sql()
     queries = entry.queries()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = 0
     for name in sorted(queries):
         sdf = queries[name](spark, sf_dir)
