@@ -484,6 +484,29 @@ def _q_cc_neardup_full(spark, sf):
     ).components
 
 
+def _q_cc_collapse_full(spark, sf):
+    """`collapse_exact` mode's documented guarantee — byte-identical docs
+    are collapsed to one representative before sketching and the component
+    map is nevertheless IDENTICAL to default mode's — value-checked through
+    the driver gate: the collapsed pipeline's components must equal the
+    batch recursive-CTE closure over the exact near-dup graph (same oracle
+    as `cc_exact`/`cc_neardup_full`)."""
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.plans.pipeline import near_duplicates
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(
+            kmers_to_sketch=FULL_SKETCH, final_size=FULL_SKETCH, kmer_length=K
+        ),
+        jaccard_threshold=JACC_T,
+    )
+    docs = _docs(spark, sf).withColumnRenamed("text", "content")
+    return near_duplicates(
+        docs, cfg, key_col="doc_id", assume_complete=True, collapse_exact=True
+    ).components
+
+
 def _q_cc_incremental_full(spark, sf):
     """The continuously-maintained clustering path (the streaming mode's
     epoch fold, `cc.connected_components_incremental`) value-checked through
@@ -751,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_neardup": _q_cc_neardup,
         "cc_neardup_full": _q_cc_neardup_full,
         "cc_incremental_full": _q_cc_incremental_full,
+        "cc_collapse_full": _q_cc_collapse_full,
         "span_coverage": _q_span_coverage,
         "merged_signatures": _q_merged_signatures,
         "merged_exploded": _q_merged_exploded,
@@ -873,6 +897,9 @@ def oracle_sql() -> dict[str, str]:
     # the incremental epoch fold is provably identical to the batch closure
     # (cc.connected_components_incremental docstring): same oracle again
     out["cc_incremental_full"] = out["cc_exact"]
+    # collapse_exact mode's component map is documented identical to the
+    # default mode's (plans/pipeline.py): same closure oracle again
+    out["cc_collapse_full"] = out["cc_exact"]
     return out
 
 

@@ -31,7 +31,7 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.environ["FS_REPO"])
 cpus = int(os.environ["FS_CPUS"])
 builder_cfg = {
-    "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+    "spark.sql.shuffle.partitions": str(max(4 * cpus, 32)),
     "spark.sql.adaptive.enabled": "true",
     "spark.driver.memory": "48g",
     "spark.sql.files.maxPartitionBytes": str(16 << 20),

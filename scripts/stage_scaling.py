@@ -26,7 +26,7 @@ sys.path.insert(0, os.environ["FS_REPO"])
 cpus = int(os.environ["FS_CPUS"])
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cpus}]")
-    .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    .config("spark.sql.shuffle.partitions", str(max(4 * cpus, 32)))
     .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
     .config("spark.python.worker.idleTimeoutSeconds", "0")
     .config("spark.driver.memory", "48g")
