@@ -284,7 +284,12 @@ def connected_components_incremental(
     remap = delta.select(
         F.col("node").alias("component"), F.col("component").alias("__new")
     )
-    kept = prev.join(remap, "component", "left").select(
+    # remap is delta-bounded (touched reps + new nodes only) while prev is
+    # the whole corpus map: broadcast the small side explicitly so prev is
+    # NEVER shuffled — at 10^12-node scale that shuffle would dwarf the
+    # epoch; with the hint the remap is a map-side join over prev's
+    # existing layout
+    kept = prev.join(F.broadcast(remap), "component", "left").select(
         "node", F.coalesce("__new", F.col("component")).alias("component")
     )
     # nodes first clustered this epoch (absent from prev)
