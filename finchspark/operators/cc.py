@@ -267,6 +267,24 @@ def connected_components_incremental(
     `prev` — keeps this O(|delta|)), one CC over the contracted delta graph
     (O(log |delta|) rounds), one join to remap touched components.
     """
+    full, _ = connected_components_incremental_delta(prev, new_edges, **cc_kwargs)
+    return full
+
+
+def connected_components_incremental_delta(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    **cc_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """(full_map, changed): the incremental fold of
+    `connected_components_incremental` plus the exact CHANGED row set —
+    nodes first clustered this epoch, and previously clustered nodes whose
+    component label moved. `changed` is bounded by the total size of the
+    delta-touched components, never the corpus, and it is precisely the
+    row set a storage-level MERGE (or a delta-file write) needs to bring
+    the previous persisted map up to date: applying `changed` over `prev`
+    (override by node) reproduces `full_map` exactly
+    (tests/test_cc.py::test_cc_incremental_delta_rows)."""
     # project endpoints onto previous representatives
     ra = prev.select(F.col("node").alias("src"), F.col("component").alias("__ra"))
     rb = prev.select(F.col("node").alias("dst"), F.col("component").alias("__rb"))
@@ -289,9 +307,15 @@ def connected_components_incremental(
     # NEVER shuffled — at 10^12-node scale that shuffle would dwarf the
     # epoch; with the hint the remap is a map-side join over prev's
     # existing layout
-    kept = prev.join(F.broadcast(remap), "component", "left").select(
+    joined = prev.join(F.broadcast(remap), "component", "left")
+    kept = joined.select(
         "node", F.coalesce("__new", F.col("component")).alias("component")
     )
+    moved = joined.filter(
+        F.col("__new").isNotNull() & (F.col("__new") != F.col("component"))
+    ).select("node", F.col("__new").alias("component"))
     # nodes first clustered this epoch (absent from prev)
-    fresh = delta.join(prev.select("node"), "node", "left_anti")
-    return kept.unionByName(fresh.select("node", "component"))
+    fresh = delta.join(prev.select("node"), "node", "left_anti").select(
+        "node", "component"
+    )
+    return kept.unionByName(fresh), moved.unionByName(fresh)

@@ -25,10 +25,16 @@ rows on parquet.
 
 Clustering: pass `components_path` for a CONTINUOUSLY-MAINTAINED component
 map — each epoch's verified pairs are contracted into the previous map via
-`cc.connected_components_incremental` (provably identical to a full
-recompute; per-epoch cost bounded by the delta, not the corpus) and written
-as a new `v=<n>` version, with the previous version retained as the
-crash-restart point. Without it, clustering stays a periodic batch
+`cc.connected_components_incremental_delta` (provably identical to a full
+recompute; per-epoch compute bounded by the delta, not the corpus).
+Storage is snapshot + delta: a full `v=<n>` snapshot every
+`compact_every` epochs, and between snapshots a `d=<n>` delta holding
+ONLY the changed rows (new nodes + relabelled members of touched
+components) — so per-epoch WRITE volume is also delta-bounded, not
+O(corpus). `latest_components` folds the deltas over the newest snapshot
+(later epoch wins per node); the retained previous-snapshot chain is the
+crash-restart point. On Iceberg the delta write becomes a MERGE into one
+table. Without `components_path`, clustering stays a periodic batch
 compaction (`operators.cc.connected_components` over the pairs table).
 """
 from __future__ import annotations
@@ -45,20 +51,38 @@ from ..operators.signature import build_signatures
 from ..operators.verify import verify_pairs
 
 
-def _latest_components(spark, components_path: str):
-    """(DataFrame | None, latest version int) for the versioned component
-    map under `components_path` (one `v=<n>` subdir per completed epoch)."""
+def _versions(components_path: str) -> list[tuple[int, str]]:
+    """Sorted [(version, kind)] for `v=<n>` snapshots / `d=<n>` deltas."""
     if not os.path.isdir(components_path):
+        return []
+    out = []
+    for d in os.listdir(components_path):
+        if d.startswith(("v=", "d=")):
+            out.append((int(d.split("=", 1)[1]), d[0]))
+    return sorted(out)
+
+
+def latest_components(spark, components_path: str):
+    """(DataFrame | None, latest version int) for the snapshot+delta
+    component map under `components_path`: the newest `v=<n>` snapshot
+    with every later `d=<m>` delta folded over it in epoch order (a
+    delta's rows override the accumulated map per node)."""
+    vs = _versions(components_path)
+    if not vs:
         return None, -1
-    versions = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(components_path)
-        if d.startswith("v=")
-    )
-    if not versions:
-        return None, -1
-    v = versions[-1]
-    return spark.read.parquet(f"{components_path}/v={v}"), v
+    snaps = [n for n, kind in vs if kind == "v"]
+    base = max(snaps)
+    cur = spark.read.parquet(f"{components_path}/v={base}")
+    for n, kind in vs:
+        if kind == "d" and n > base:
+            delta = spark.read.parquet(f"{components_path}/d={n}")
+            cur = cur.join(
+                delta.select("node"), "node", "left_anti"
+            ).unionByName(delta)
+    return cur, vs[-1][0]
+
+
+_latest_components = latest_components  # backward-compat alias
 
 
 def neardup_stream(
@@ -72,6 +96,7 @@ def neardup_stream(
     filters=None,
     available_now: bool = True,
     components_path: str | None = None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Start the incremental near-dup query.
 
@@ -118,37 +143,52 @@ def neardup_stream(
             )
             if components_path is not None:
                 # continuously-maintained clustering: contract-and-merge the
-                # epoch's pairs into the versioned component map — per-epoch
-                # compute bounded by the delta (cc.connected_components_
-                # incremental docstring proves exact equality with a full
-                # recompute). Versioned `v=<n>` dirs instead of overwrite:
-                # Spark cannot overwrite a path it is reading, and the last
-                # completed version doubles as the crash-restart point. On
+                # epoch's pairs into the snapshot+delta component map —
+                # per-epoch compute AND write volume bounded by the delta
+                # (cc.connected_components_incremental_delta docstring).
+                # Versioned dirs instead of in-place overwrite: Spark cannot
+                # overwrite a path it is reading, and the retained
+                # previous-snapshot chain is the crash-restart point. On
                 # Iceberg this becomes a MERGE into one table.
                 from ..operators.cc import (
                     connected_components,
-                    connected_components_incremental,
+                    connected_components_incremental_delta,
                 )
 
                 edges = kept.select(
                     F.col("key_a").alias("src"), F.col("key_b").alias("dst")
                 )
-                prev, v = _latest_components(spark, components_path)
-                comp = (
-                    connected_components(edges)
-                    if prev is None
-                    else connected_components_incremental(prev, edges)
-                )
-                comp.write.mode("overwrite").parquet(
-                    f"{components_path}/v={v + 1}"
-                )
-                # retain current + previous version only
-                import shutil
+                prev, v = latest_components(spark, components_path)
+                snaps = [n for n, k in _versions(components_path) if k == "v"]
+                last_snap = max(snaps, default=-1)
+                if prev is None:
+                    connected_components(edges).write.mode("overwrite").parquet(
+                        f"{components_path}/v={v + 1}"
+                    )
+                else:
+                    full, changed = connected_components_incremental_delta(
+                        prev, edges
+                    )
+                    if v + 1 - last_snap >= compact_every:
+                        # compaction epoch: full snapshot, then drop
+                        # everything before the PREVIOUS snapshot (that
+                        # chain stays readable as the restart point)
+                        full.write.mode("overwrite").parquet(
+                            f"{components_path}/v={v + 1}"
+                        )
+                        import shutil
 
-                for d in os.listdir(components_path):
-                    if d.startswith("v=") and int(d.split("=", 1)[1]) < v:
-                        shutil.rmtree(
-                            os.path.join(components_path, d), ignore_errors=True
+                        for n, kind in _versions(components_path):
+                            if n < last_snap:
+                                shutil.rmtree(
+                                    os.path.join(
+                                        components_path, f"{kind}={n}"
+                                    ),
+                                    ignore_errors=True,
+                                )
+                    else:
+                        changed.write.mode("overwrite").parquet(
+                            f"{components_path}/d={v + 1}"
                         )
             new_sigs.write.mode("append").parquet(store_path)
             kept.unpersist()

@@ -141,6 +141,39 @@ def test_cc_small_graph_path_equals_star_path(spark):
     assert "Join" not in plan
 
 
+def test_cc_incremental_delta_rows(spark):
+    """connected_components_incremental_delta's changed set: applying it
+    over prev (override by node) reproduces the full map exactly, and rows
+    of untouched components never appear in it."""
+    from finchspark.operators.cc import (
+        connected_components_incremental_delta,
+    )
+
+    prev = spark.createDataFrame(
+        # components {1,2,3}->1, {10,11}->10, {20,21}->20 (untouched)
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "node long, component long",
+    )
+    # merge {1..3} with {10,11} via a new node 5, plus a brand-new pair
+    edges = spark.createDataFrame(
+        [(3, 5), (5, 10), (30, 31)], "src long, dst long"
+    )
+    full, changed = connected_components_incremental_delta(prev, edges)
+    got_full = {(r["node"], r["component"]) for r in full.collect()}
+    got_changed = {(r["node"], r["component"]) for r in changed.collect()}
+    assert got_full == {
+        (1, 1), (2, 1), (3, 1), (5, 1), (10, 1), (11, 1),
+        (20, 20), (21, 20), (30, 30), (31, 30),
+    }
+    # changed = new nodes + relabelled members; 1,2,3 keep label 1 and the
+    # 20-component is untouched, so none of them may appear
+    assert got_changed == {(5, 1), (10, 1), (11, 1), (30, 30), (31, 30)}
+    # override-apply changed over prev == full
+    applied = {n: c for n, c in {r["node"]: r["component"] for r in prev.collect()}.items()}
+    applied.update({n: c for n, c in got_changed})
+    assert {(n, c) for n, c in applied.items()} == got_full
+
+
 @pytest.mark.parametrize("seed", [3, 17])
 def test_cc_incremental_matches_full_recompute(spark, seed):
     """connected_components_incremental over random epoch splits equals the

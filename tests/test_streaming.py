@@ -175,11 +175,21 @@ def test_candidate_pairs_incremental_caps_store_buckets(spark, cfg):
     assert uncapped.count() == 11  # doc 0 paired with every other member
 
 
-def test_neardup_stream_continuous_clustering(spark, cfg, tmp_path):
-    """With components_path set, the stream maintains the component map
-    incrementally per epoch; the final version equals the batch pipeline's
-    LSH-path components over the full corpus, and old versions are pruned
-    to current + previous."""
+@pytest.mark.parametrize(
+    "compact_every,layout",
+    [
+        (8, {("v", 0), ("d", 1), ("d", 2)}),  # snapshot then delta-only
+        (2, {("v", 0), ("d", 1), ("v", 2)}),  # mid-stream compaction
+    ],
+)
+def test_neardup_stream_continuous_clustering(
+    spark, cfg, tmp_path, compact_every, layout
+):
+    """With components_path set, the stream maintains the snapshot+delta
+    component map incrementally per epoch (delta-bounded writes); the
+    folded latest map equals the batch pipeline's LSH-path components over
+    the full corpus, and the on-disk layout matches the compaction
+    cadence."""
     import os
 
     from pyspark.sql import functions as F
@@ -188,7 +198,7 @@ def test_neardup_stream_continuous_clustering(spark, cfg, tmp_path):
     from finchspark.operators.lsh import candidate_pairs
     from finchspark.operators.verify import verify_pairs
     from finchspark.sources.synth import synth_documents
-    from finchspark.streaming.neardup import neardup_stream
+    from finchspark.streaming.neardup import latest_components, neardup_stream
 
     docs, _ = synth_documents(n_base=36)
     rows = [(d["doc_id"], d["content"]) for d in docs]
@@ -211,17 +221,19 @@ def test_neardup_stream_continuous_clustering(spark, cfg, tmp_path):
         str(tmp_path / "pairs"),
         str(tmp_path / "ckpt"),
         components_path=comp_out,
+        compact_every=compact_every,
     )
     q.awaitTermination(240)
 
-    versions = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(comp_out) if d.startswith("v=")
-    )
-    assert len(versions) == 2, "current + previous version only"
-    got = {
-        (r["node"], r["component"])
-        for r in spark.read.parquet(f"{comp_out}/v={versions[-1]}").collect()
+    got_layout = {
+        (d[0], int(d.split("=", 1)[1]))
+        for d in os.listdir(comp_out)
+        if d.startswith(("v=", "d="))
     }
+    assert got_layout == layout
+    final, v = latest_components(spark, comp_out)
+    assert v == 2
+    got = {(r["node"], r["component"]) for r in final.collect()}
 
     sigs = build_signatures(_docs(spark, rows), cfg, key_cols=("doc_id",))
     cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
