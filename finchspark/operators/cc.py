@@ -271,9 +271,16 @@ def connected_components_incremental(
     return full
 
 
+# broadcast the remap only when the epoch's edge count bounds it safely:
+# remap rows <= distinct delta endpoints <= 2 x |new_edges|, so 1M edges
+# caps the broadcast at ~2M (long,long) rows (~32 MB per executor)
+_BROADCAST_REMAP_MAX_EDGES = 1_000_000
+
+
 def connected_components_incremental_delta(
     prev: DataFrame,
     new_edges: DataFrame,
+    broadcast_remap: bool | None = None,
     **cc_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """(full_map, changed): the incremental fold of
@@ -306,8 +313,17 @@ def connected_components_incremental_delta(
     # the whole corpus map: broadcast the small side explicitly so prev is
     # NEVER shuffled — at 10^12-node scale that shuffle would dwarf the
     # epoch; with the hint the remap is a map-side join over prev's
-    # existing layout
-    joined = prev.join(F.broadcast(remap), "component", "left")
+    # existing layout. The hint is GUARDED: a bulk epoch (initial backfill,
+    # large catch-up batch) can make the delta corpus-sized, and forcing the
+    # broadcast would OOM the executors past Spark's own safety threshold.
+    # `broadcast_remap=None` decides from the epoch's edge count (a cheap
+    # action over new_edges, which streaming callers already have cached);
+    # True/False overrides for callers that know their epoch shape.
+    if broadcast_remap is None:
+        broadcast_remap = new_edges.count() <= _BROADCAST_REMAP_MAX_EDGES
+    joined = prev.join(
+        F.broadcast(remap) if broadcast_remap else remap, "component", "left"
+    )
     kept = joined.select(
         "node", F.coalesce("__new", F.col("component")).alias("component")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,7 @@ class TableStore:
         self.run_id = run_id or time.strftime("run-%Y%m%d-%H%M%S")
         self.fmt = fmt
         self._write_seq = 0
+        self._instance_id = uuid.uuid4().hex[:12]
 
     def _dir(self, stage: str) -> Path:
         return self.root / stage
@@ -74,8 +76,12 @@ class TableStore:
         # per-write id so partition ids from separate append writes never
         # collide in the metrics (they'd otherwise conflate independent
         # writes' skew); both cheap generated columns, no shuffle
+        # collision-proof across process restarts: a resumed process with the
+        # same explicit run_id would restart the instance-local seq at 1 and
+        # reuse ids already in the table, conflating per-write skew metrics —
+        # the uuid component makes every TableStore instance's ids disjoint
         self._write_seq += 1
-        write_id = f"{self.run_id}/{self._write_seq}"
+        write_id = f"{self.run_id}/{self._instance_id}/{self._write_seq}"
         tagged = df.withColumn("_partition_id", F.spark_partition_id()).withColumn(
             "_write_id", F.lit(write_id)
         )

@@ -52,12 +52,23 @@ from ..operators.verify import verify_pairs
 
 
 def _versions(components_path: str) -> list[tuple[int, str]]:
-    """Sorted [(version, kind)] for `v=<n>` snapshots / `d=<n>` deltas."""
+    """Sorted [(version, kind)] for `v=<n>` snapshots / `d=<n>` deltas.
+
+    Only FULLY COMMITTED versions count: a directory qualifies iff it
+    contains Spark's `_SUCCESS` marker. A crash mid-write leaves a partial
+    directory (often just `_temporary/`); without this check a restart
+    would pick the partial dir as the newest version and either fail
+    schema inference or — worse, under a committer that promotes files
+    eagerly — silently read a truncated component map. Incomplete
+    directories are left in place (the next write to the same version
+    number uses mode("overwrite") and replaces them)."""
     if not os.path.isdir(components_path):
         return []
     out = []
     for d in os.listdir(components_path):
-        if d.startswith(("v=", "d=")):
+        if d.startswith(("v=", "d=")) and os.path.exists(
+            os.path.join(components_path, d, "_SUCCESS")
+        ):
             out.append((int(d.split("=", 1)[1]), d[0]))
     return sorted(out)
 
@@ -122,6 +133,7 @@ def neardup_stream(
             content_col=content_col,
             filters=filters,
         ).persist()
+        kept = None
         try:
             if os.path.isdir(store_path) and any(
                 f.endswith(".parquet") for f in os.listdir(store_path)
@@ -191,8 +203,12 @@ def neardup_stream(
                             f"{components_path}/d={v + 1}"
                         )
             new_sigs.write.mode("append").parquet(store_path)
-            kept.unpersist()
         finally:
+            # both caches released even when an append throws — foreachBatch
+            # retries in a long-lived session would otherwise accumulate
+            # leaked cached partitions epoch over epoch
+            if kept is not None:
+                kept.unpersist()
             new_sigs.unpersist()
 
     writer = (

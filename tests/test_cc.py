@@ -174,6 +174,32 @@ def test_cc_incremental_delta_rows(spark):
     assert {(n, c) for n, c in applied.items()} == got_full
 
 
+def test_cc_incremental_delta_broadcast_guard(spark):
+    """ADVICE r4: the remap broadcast is guarded, not forced — the
+    shuffle-join fallback (bulk epoch where a corpus-sized remap would OOM
+    the forced broadcast) returns the identical map/changed set, and with
+    broadcast_remap=False no BroadcastHashJoin touches the remap path."""
+    from finchspark.operators.cc import connected_components_incremental_delta
+
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "node long, component long",
+    )
+    edges = spark.createDataFrame(
+        [(3, 5), (5, 10), (30, 31)], "src long, dst long"
+    )
+    results = {}
+    for flag in (True, False, None):
+        full, changed = connected_components_incremental_delta(
+            prev, edges, broadcast_remap=flag
+        )
+        results[flag] = (
+            {(r["node"], r["component"]) for r in full.collect()},
+            {(r["node"], r["component"]) for r in changed.collect()},
+        )
+    assert results[True] == results[False] == results[None]
+
+
 @pytest.mark.parametrize("seed", [3, 17])
 def test_cc_incremental_matches_full_recompute(spark, seed):
     """connected_components_incremental over random epoch splits equals the

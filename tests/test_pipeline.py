@@ -299,6 +299,25 @@ def test_tablestore_append_lineage_per_write(spark, cfg, tmp_path):
     assert set(store.read("s").columns) == {"id"}
 
 
+def test_tablestore_write_id_unique_across_resume(spark, cfg, tmp_path):
+    """ADVICE r4: a resumed process constructing a TableStore with the SAME
+    explicit run_id restarted the per-instance seq at 1 and reused write ids
+    already in the table, conflating per-write skew metrics. write_id now
+    carries a per-instance uuid component, so ids from the two runs are
+    disjoint and the second run's metrics describe only its own rows."""
+    store1 = TableStore(tmp_path / "store", cfg.params_hash(), run_id="run-x")
+    store1.write("s", spark.range(100).repartition(4), mode="append")
+    id1 = store1.read_meta("s")["write_id"]
+    # simulated restart: same run_id, fresh instance, seq restarts at 1
+    store2 = TableStore(tmp_path / "store", cfg.params_hash(), run_id="run-x")
+    store2.write("s", spark.range(100, 160).repartition(2), mode="append")
+    meta = store2.read_meta("s")
+    assert meta["write_id"] != id1
+    assert meta["row_count"] == 160  # cumulative
+    assert meta["write_row_count"] == 60  # NOT conflated with run 1's rows
+    assert meta["n_partitions"] == 2
+
+
 def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
     """IcebergTableStore issues the exact DataFrameWriterV2 call sequence
     (writeTo(ns.stage).using(fmt).createOrReplace()/append(), read via

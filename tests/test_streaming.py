@@ -175,6 +175,33 @@ def test_candidate_pairs_incremental_caps_store_buckets(spark, cfg):
     assert uncapped.count() == 11  # doc 0 paired with every other member
 
 
+def test_latest_components_skips_uncommitted_versions(spark, tmp_path):
+    """ADVICE r4: a crash mid-snapshot/delta write leaves a partial dir (no
+    _SUCCESS); restart must resume from the last FULLY COMMITTED version,
+    not fail schema inference on the partial one or read it as a silently
+    wrong map."""
+    import os
+
+    from finchspark.streaming.neardup import _versions, latest_components
+
+    comp = tmp_path / "components"
+    spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, component long"
+    ).write.parquet(str(comp / "v=0"))
+    spark.createDataFrame(
+        [(3, 1)], "node long, component long"
+    ).write.parquet(str(comp / "d=1"))
+    # simulated crash: d=2 exists but never committed (only _temporary junk)
+    os.makedirs(comp / "d=2" / "_temporary")
+    (comp / "d=2" / "part-00000.parquet").write_bytes(b"partial garbage")
+
+    assert _versions(str(comp)) == [(0, "v"), (1, "d")]
+    final, v = latest_components(spark, str(comp))
+    assert v == 1  # resumes from the last committed version
+    got = {(r["node"], r["component"]) for r in final.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
 @pytest.mark.parametrize(
     "compact_every,layout",
     [
