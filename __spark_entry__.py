@@ -538,6 +538,155 @@ def _q_cc_incremental_full(spark, sf):
     return prev
 
 
+def _q_compare_counts_full(spark, sf):
+    """D7 `Sketch.compare_counts` (`lib/src/python.rs:489-559`) through the
+    Spark surface over exact near-dup pairs: intersection size, summed
+    counts at common hashes, and population variance/skew/excess-kurtosis
+    of the query's counts at common hashes. Over COMPLETE sketches the
+    common hashes are exactly the common 21-grams and the counts their
+    occurrence depths — all plain SQL over exploded grams. The two-pointer
+    stop positions (ref_pos/query_pos) are murmur-ORDER-bound so they stay
+    on the pytest parity tests (tests/test_countstats.py); every other
+    kernel output is value-checked here. NaN moments (zero query-count
+    variance) map to NULL on both sides — DuckDB's 0/0 is NULL, numpy's is
+    NaN, and the gate must compare equal."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+    from finchspark.operators.countstats import compare_counts_pairs
+
+    sigs = _signatures_full(spark, sf)
+    pairs = exact_jaccard_pairs(sigs, JACC_T).select("key_a", "key_b")
+    out = compare_counts_pairs(pairs, sigs, key_col="doc_id")
+
+    def _nn(c):
+        return F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(
+            F.round(F.col(c), 9)
+        ).alias(c)
+
+    return out.select(
+        "key_a", "key_b", "common", "ref_count", "query_count",
+        _nn("var"), _nn("skew"), _nn("kurt"),
+    )
+
+
+def _q_minmer_hist(spark, sf):
+    """D6 `Sketch.compare_matrix` / `minmer_matrix`
+    (`lib/src/python.rs:560-615`, `lib/src/distance.rs:344-364`) through the
+    Spark surface: the count matrix of every doc's sketch against doc 0's
+    reference sketch, surfaced as its per-sketch value histogram (the
+    position-free projection — column POSITIONS follow murmur hash order,
+    the multiset of row values is exactly SQL-checkable; positional layout
+    is pinned by tests/test_ops.py::test_compare_matrix_minmer and
+    tests/test_countstats.py)."""
+    from finchspark.operators.countstats import minmer_count_hist
+
+    return minmer_count_hist(_signatures_full(spark, sf), 0, key_col="doc_id")
+
+
+N_CAP_CLONES = 8  # identical-group size 9 (doc d* + 8 clones) > CAP_BUCKET
+CAP_BUCKET = 4
+
+
+def _q_cc_incremental_capped(spark, sf):
+    """Cap-drop semantics UNDER INCREMENTAL ARRIVAL, value-checked: the
+    corpus is augmented with 8 byte-identical clones of d* (the smallest
+    doc in no exact near-dup pair), all arriving in the MIDDLE epoch of a
+    three-epoch incremental fold run with bucket_cap=4. Every LSH bucket
+    holding the 9-member identical group overflows the cap and is dropped
+    mid-stream (hard-asserted: zero intra-group LSH candidates) — yet the
+    final component map must still equal the batch transitive closure of
+    the augmented corpus, because the sha256 exact-dup safety net
+    (`lsh.exact_dup_pairs_sha`, the documented companion of the cap) unites
+    the group. This is the one interaction the batch oracles could not see:
+    caps firing against a store that accumulates across epochs.
+
+    The oracle is `cc_exact`'s closure plus the clone group as one
+    d*-labelled component (d* is isolated, so no other row changes)."""
+    from dataclasses import replace
+
+    from finchspark.config import PipelineConfig
+    from finchspark.kernels import SketchParams
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+    from finchspark.operators.cc import (
+        connected_components,
+        connected_components_incremental,
+    )
+    from finchspark.operators.lsh import (
+        candidate_pairs_incremental,
+        exact_dup_pairs_sha,
+    )
+    from finchspark.operators.signature import build_signatures
+    from finchspark.operators.verify import verify_pairs
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(
+            kmers_to_sketch=FULL_SKETCH, final_size=FULL_SKETCH, kmer_length=K
+        ),
+        jaccard_threshold=JACC_T,
+    )
+    base = _docs(spark, sf).select("doc_id", "text")
+    ex = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    endpoints = (
+        ex.select(F.col("key_a").alias("doc_id"))
+        .unionByName(ex.select(F.col("key_b").alias("doc_id")))
+        .distinct()
+    )
+    dstar = (
+        base.select("doc_id")
+        .join(endpoints, "doc_id", "left_anti")
+        .agg(F.min("doc_id").alias("m"))
+        .first()["m"]
+    )
+    clones = (
+        spark.range(N_CAP_CLONES)
+        .crossJoin(base.filter(F.col("doc_id") == dstar).select("text"))
+        .select((F.col("id") + 20_000_000).alias("doc_id"), "text")
+    )
+    sigs = build_signatures(
+        base.unionByName(clones), cfg, key_cols=("doc_id",), content_col="text"
+    ).persist()
+    lsh = replace(_cfg().lsh, bucket_cap=CAP_BUCKET)
+    group = {dstar} | {20_000_000 + i for i in range(N_CAP_CLONES)}
+
+    def _epoch(col):
+        # clones (and d* itself) arrive in the MIDDLE epoch; the rest split
+        # deterministically by id so pairs span the cap event on both sides
+        return F.when(
+            (col >= 20_000_000) | (col == dstar), F.lit(1)
+        ).otherwise(F.pmod(col, F.lit(3)))
+
+    prev = None
+    store = None
+    for e in range(3):
+        new = sigs.filter(_epoch(F.col("doc_id")) == e)
+        store = new if store is None else store.unionByName(new)
+        cands = candidate_pairs_incremental(new, store, lsh, key_col="doc_id")
+        if e == 1:
+            # the cap must actually FIRE mid-stream, or this query is vacuous
+            n_intra = cands.filter(
+                F.col("key_a").isin(group) & F.col("key_b").isin(group)
+            ).count()
+            if n_intra != 0:
+                raise AssertionError(
+                    f"bucket_cap={CAP_BUCKET} failed to drop the "
+                    f"{len(group)}-member identical group ({n_intra} intra-"
+                    "group LSH candidates leaked)"
+                )
+        ver = verify_pairs(
+            cands, store, cfg, key_col="doc_id", assume_complete=True
+        ).filter(F.col("jaccard") >= JACC_T)
+        edges = (
+            ver.select("key_a", "key_b")
+            .unionByName(exact_dup_pairs_sha(store, key_col="doc_id"))
+            .select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        )
+        prev = (
+            connected_components(edges)
+            if prev is None
+            else connected_components_incremental(prev, edges)
+        )
+    return prev
+
+
 def _q_span_coverage(spark, sf):
     """Span-dedup coverage with an exact SQL twin: a byte of A is covered by
     a common substring >= 32 bytes iff some common 32-gram's window contains
@@ -774,7 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_neardup": _q_cc_neardup,
         "cc_neardup_full": _q_cc_neardup_full,
         "cc_incremental_full": _q_cc_incremental_full,
+        "cc_incremental_capped": _q_cc_incremental_capped,
         "cc_collapse_full": _q_cc_collapse_full,
+        "compare_counts_full": _q_compare_counts_full,
+        "minmer_hist": _q_minmer_hist,
         "span_coverage": _q_span_coverage,
         "merged_signatures": _q_merged_signatures,
         "merged_exploded": _q_merged_exploded,
@@ -1146,6 +1298,90 @@ rec as (
   ) select * from reach
 )
 select a as node, least(a, min(b)) as component from rec group by a
+""",
+        # D7 compare_counts: population moments over the query's depths at
+        # common grams; two-pass mean like the kernel; NaN-variance rows
+        # (all-equal query counts) emit NULL on both sides
+        "compare_counts_full": f"""
+with occ as (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents),
+d as (select doc_id, gram, count(*) as c from occ group by 1, 2),
+n as (select doc_id, count(*) as n from d group by 1),
+co as (
+  select a.doc_id as key_a, b.doc_id as key_b, a.c as ac, b.c as qc
+  from d a join d b on a.gram = b.gram and b.doc_id > a.doc_id
+),
+m as (
+  select key_a, key_b, count(*) as common, sum(ac) as ref_count,
+         sum(qc) as query_count, avg(qc) as mean
+  from co group by 1, 2
+),
+p as (
+  select m.* from m
+  join n na on na.doc_id = m.key_a
+  join n nb on nb.doc_id = m.key_b
+  where m.common / cast(na.n + nb.n - m.common as double) >= {JACC_T}
+),
+cm as (
+  select c.key_a, c.key_b,
+         sum(pow(c.qc - p.mean, 2)) as m2,
+         sum(pow(c.qc - p.mean, 3)) as m3,
+         sum(pow(c.qc - p.mean, 4)) as m4
+  from co c join p using (key_a, key_b) group by 1, 2
+)
+select p.key_a, p.key_b, p.common, p.ref_count, p.query_count,
+  round(cm.m2 / p.common, 9) as var,
+  case when cm.m2 > 0
+       then round(sqrt(p.common) * cm.m3 / pow(cm.m2, 1.5), 9) end as skew,
+  case when cm.m2 > 0
+       then round(p.common * cm.m4 / (cm.m2 * cm.m2) - 3, 9) end as kurt
+from p join cm using (key_a, key_b)
+""",
+        # D6 minmer matrix as its position-free per-sketch value histogram:
+        # entry (s, pos) = s's depth for ref gram at pos, 0 when absent —
+        # histogram per sketch over all |ref| positions
+        "minmer_hist": f"""
+with rg as (
+  select unnest({_KGRAMS}) as gram from documents where doc_id = 0
+),
+occ as (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents),
+dep as (select doc_id, gram, count(*) as c from occ group by 1, 2),
+cell as (
+  select docs.doc_id as key, coalesce(dep.c, 0) as "count"
+  from (select doc_id from documents) docs
+  cross join rg
+  left join dep on dep.doc_id = docs.doc_id and dep.gram = rg.gram
+)
+select key, "count", count(*) as n_positions from cell group by 1, 2
+""",
+        # cap-under-incremental-arrival: the batch closure plus the planted
+        # identical group as one component labelled by d* (the smallest doc
+        # in no exact pair — isolated, so no other closure row changes)
+        "cc_incremental_capped": _EXACT_PAIRS
+        + f"""
+, und as (
+  select key_a as a, key_b as b from exact_pairs
+  union
+  select key_b, key_a from exact_pairs
+),
+rec as (
+  with recursive reach(a, b) as (
+    select a, b from und
+    union
+    select r.a, u.b from reach r join und u on r.b = u.a
+  ) select * from reach
+),
+iso as (
+  select min(doc_id) as dstar from documents
+  where doc_id not in (
+    select key_a from exact_pairs union select key_b from exact_pairs
+  )
+)
+select a as node, least(a, min(b)) as component from rec group by a
+union all
+select dstar as node, dstar as component from iso
+union all
+select 20000000 + g.i as node, iso.dstar as component
+from iso cross join (select unnest(generate_series(0, {N_CAP_CLONES - 1})) as i) g
 """,
         "repo_jaccard": f"""
 with gr as (select source, unnest({_KGRAMS}) as gram from documents),

@@ -302,6 +302,109 @@ def compare_counts(
     return common, ref_pos, q_pos, ref_count, query_count, var, skew, kurt
 
 
+def compare_counts_many(
+    r_vals: np.ndarray,
+    r_offsets: np.ndarray,
+    r_counts: np.ndarray,
+    q_vals: np.ndarray,
+    q_offsets: np.ndarray,
+    q_counts: np.ndarray,
+) -> tuple[np.ndarray, ...]:
+    """`compare_counts` for MANY (reference, query) pairs at once — zero
+    per-pair Python (`Sketch.compare_counts`, `lib/src/python.rs:489-559`).
+
+    Segmented (Arrow list layout) inputs: pair p's reference hashes are
+    ``r_vals[r_offsets[p]:r_offsets[p+1]]`` (sorted distinct uint64) with
+    parallel counts, ditto the query side. Returns 8 arrays of length
+    n_pairs: (common, ref_pos, query_pos, ref_count, query_count, var,
+    skew, kurt) with exactly the scalar kernel's semantics — population
+    moments over the QUERY counts at common hashes, two-pointer stop
+    positions, nan moments when common == 0 (or m2 == 0 for skew/kurt).
+
+    Same tagged-radix-sort machinery as `raw_distance_many`: one stable
+    sort over all values tagged by pair id; a common hash appears as an
+    adjacent (ref, query) duplicate within its pair group (values are
+    distinct within a side, and the ref side is concatenated first so the
+    stable sort keeps ref before query at equal (pair, value))."""
+    r_offsets = np.asarray(r_offsets, dtype=np.int64)
+    q_offsets = np.asarray(q_offsets, dtype=np.int64)
+    n = len(r_offsets) - 1
+    lr = np.diff(r_offsets)
+    lq = np.diff(q_offsets)
+    ri = np.repeat(np.arange(n, dtype=np.int64), lr)
+    qi = np.repeat(np.arange(n, dtype=np.int64), lq)
+    r_vals = np.asarray(r_vals, dtype=np.uint64)
+    q_vals = np.asarray(q_vals, dtype=np.uint64)
+
+    vals = np.concatenate([r_vals, q_vals])
+    pid = np.concatenate([ri, qi])
+    cnts = np.concatenate(
+        [np.asarray(r_counts, np.int64), np.asarray(q_counts, np.int64)]
+    )
+    common = np.zeros(n, dtype=np.int64)
+    ref_count = np.zeros(n, dtype=np.int64)
+    q_sum = np.zeros(n, dtype=np.float64)
+    m2 = np.zeros(n, dtype=np.float64)
+    m3 = np.zeros(n, dtype=np.float64)
+    m4 = np.zeros(n, dtype=np.float64)
+    if len(vals):
+        perm = np.argsort(vals, kind="stable")
+        perm = perm[np.argsort(pid[perm], kind="stable")]
+        sv = vals[perm]
+        sp = pid[perm]
+        sc = cnts[perm]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        dpid = sp[:-1][dup]
+        rc = sc[:-1][dup]  # ref entry precedes query entry at equal keys
+        qc = sc[1:][dup].astype(np.float64)
+        common = np.bincount(dpid, minlength=n).astype(np.int64)
+        ref_count = np.bincount(dpid, weights=rc, minlength=n).astype(np.int64)
+        q_sum = np.bincount(dpid, weights=qc, minlength=n)
+        with np.errstate(invalid="ignore"):
+            mean = np.where(common > 0, q_sum / np.maximum(common, 1), 0.0)
+        d = qc - mean[dpid]
+        m2 = np.bincount(dpid, weights=d * d, minlength=n)
+        m3 = np.bincount(dpid, weights=d * d * d, minlength=n)
+        m4 = np.bincount(dpid, weights=d * d * d * d, minlength=n)
+
+    # stop positions (scale-0 two-pointer rule, as in raw_distance_many)
+    rmax = np.zeros(n, dtype=np.uint64)
+    qmax = np.zeros(n, dtype=np.uint64)
+    nz_r = lr > 0
+    nz_q = lq > 0
+    rmax[nz_r] = r_vals[r_offsets[1:][nz_r] - 1]
+    qmax[nz_q] = q_vals[q_offsets[1:][nz_q] - 1]
+    either_empty = ~(nz_r & nz_q)
+    r_le_qmax = np.bincount(
+        ri, weights=(r_vals <= np.repeat(qmax, lr)), minlength=n
+    ).astype(np.int64)
+    q_le_rmax = np.bincount(
+        qi, weights=(q_vals <= np.repeat(rmax, lq)), minlength=n
+    ).astype(np.int64)
+    ref_pos = np.where(rmax <= qmax, lr, r_le_qmax)
+    q_pos = np.where(qmax <= rmax, lq, q_le_rmax)
+    ref_pos[either_empty] = 0
+    q_pos[either_empty] = 0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = np.where(common > 0, m2 / np.maximum(common, 1), np.nan)
+        ok = m2 > 0
+        skew = np.where(
+            ok, np.sqrt(common) * m3 / np.maximum(m2, 1e-300) ** 1.5, np.nan
+        )
+        kurt = np.where(ok, common * m4 / np.maximum(m2 * m2, 1e-300) - 3.0, np.nan)
+    return (
+        common,
+        ref_pos,
+        q_pos,
+        ref_count,
+        q_sum.astype(np.int64),
+        var,
+        skew,
+        kurt,
+    )
+
+
 def minmer_matrix(
     ref_hashes: np.ndarray,
     sketch_hashes: list[np.ndarray],
