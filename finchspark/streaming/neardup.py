@@ -96,6 +96,37 @@ def latest_components(spark, components_path: str):
 _latest_components = latest_components  # backward-compat alias
 
 
+def store_latest_components(spark, table_store, stage: str):
+    """(DataFrame | None, n_delta_epochs): the component map maintained in a
+    TableStore as BASE table `stage` + append-only changelog `stage`_delta
+    (the Iceberg-shaped twin of the path-based snapshot+delta layout): fold
+    = base overridden per node by the latest-epoch delta row. The delta
+    table is truncated (createOrReplace empty) at each compaction, so every
+    delta row is newer than the base by construction."""
+    from pyspark.sql.window import Window
+
+    delta_stage = f"{stage}_delta"
+    if not table_store.exists(stage):
+        return None, 0
+    base = table_store.read(stage)
+    if not table_store.exists(delta_stage):
+        return base, 0
+    d = table_store.read(delta_stage)
+    epochs = [r["epoch_id"] for r in d.select("epoch_id").distinct().collect()]
+    if not epochs:
+        return base, 0
+    w = Window.partitionBy("node").orderBy(F.col("epoch_id").desc())
+    latest = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("node", "component")
+    )
+    folded = base.join(latest.select("node"), "node", "left_anti").unionByName(
+        latest
+    )
+    return folded, len(epochs)
+
+
 def neardup_stream(
     stream_df: DataFrame,
     config: PipelineConfig,
@@ -108,6 +139,7 @@ def neardup_stream(
     available_now: bool = True,
     components_path: str | None = None,
     compact_every: int = 8,
+    table_store=None,
 ) -> StreamingQuery:
     """Start the incremental near-dup query.
 
@@ -121,6 +153,18 @@ def neardup_stream(
     `stream_df`: any streaming DataFrame carrying key_cols + content_col.
     With `available_now=True` the query drains what is currently available
     and stops (incremental-compaction mode); False = continuous.
+
+    `table_store`: a `plans.checkpoint.TableStore` (e.g. `IcebergTableStore`
+    against a real catalog) — when given, `store_path`/`pairs_path`/
+    `components_path` are STAGE NAMES in that store rather than filesystem
+    paths, and every write goes through the store's V2 write path with its
+    params-hash resume gate and per-write lineage metrics: signatures and
+    pairs are per-epoch appends; the component map is a base table +
+    append-only `<stage>_delta` changelog truncated at each compaction
+    (the Iceberg-shaped twin of the path-based `v=<n>`/`d=<n>` layout; on a
+    real catalog the changelog naturally becomes a MERGE source). One code
+    path for the 100-TB deployment: the local parquet mode below is the
+    `table_store=None` degenerate case.
     """
     key_col = key_cols[0]
 
@@ -135,7 +179,14 @@ def neardup_stream(
         ).persist()
         kept = None
         try:
-            if os.path.isdir(store_path) and any(
+            if table_store is not None:
+                have_store = table_store.exists(store_path)
+                all_sigs = (
+                    table_store.read(store_path).unionByName(new_sigs)
+                    if have_store
+                    else new_sigs
+                )
+            elif os.path.isdir(store_path) and any(
                 f.endswith(".parquet") for f in os.listdir(store_path)
             ):
                 all_sigs = spark.read.parquet(store_path).unionByName(new_sigs)
@@ -148,12 +199,61 @@ def neardup_stream(
             kept = pairs.filter(
                 F.col("jaccard") >= config.jaccard_threshold
             ).persist()
-            (
-                kept.withColumn("epoch_id", F.lit(int(epoch_id)))
-                .write.mode("append")
-                .parquet(pairs_path)
-            )
-            if components_path is not None:
+            tagged_pairs = kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            if table_store is not None:
+                table_store.write(pairs_path, tagged_pairs, mode="append")
+            else:
+                tagged_pairs.write.mode("append").parquet(pairs_path)
+            if components_path is not None and table_store is not None:
+                from ..operators.cc import (
+                    connected_components,
+                    connected_components_incremental_delta,
+                )
+
+                edges = kept.select(
+                    F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+                )
+                delta_stage = f"{components_path}_delta"
+                prev, n_delta = store_latest_components(
+                    spark, table_store, components_path
+                )
+                if prev is None:
+                    full = connected_components(edges)
+                    table_store.write(components_path, full)
+                    # initialize the changelog empty with the final schema
+                    table_store.write(
+                        delta_stage,
+                        full.limit(0).withColumn(
+                            "epoch_id", F.lit(0).cast("long")
+                        ),
+                    )
+                else:
+                    full, changed = connected_components_incremental_delta(
+                        prev, edges
+                    )
+                    if n_delta + 1 >= compact_every:
+                        # compaction: rewrite the base, truncate the
+                        # changelog. localCheckpoint breaks the plan's
+                        # lineage through the table being replaced (real
+                        # Iceberg pins the read snapshot; a parquet-backed
+                        # store would otherwise read its own overwrite)
+                        full = full.localCheckpoint(eager=True)
+                        table_store.write(components_path, full)
+                        table_store.write(
+                            delta_stage,
+                            full.limit(0).withColumn(
+                                "epoch_id", F.lit(0).cast("long")
+                            ),
+                        )
+                    else:
+                        table_store.write(
+                            delta_stage,
+                            changed.localCheckpoint(eager=True).withColumn(
+                                "epoch_id", F.lit(int(epoch_id))
+                            ),
+                            mode="append",
+                        )
+            elif components_path is not None:
                 # continuously-maintained clustering: contract-and-merge the
                 # epoch's pairs into the snapshot+delta component map —
                 # per-epoch compute AND write volume bounded by the delta
@@ -202,7 +302,10 @@ def neardup_stream(
                         changed.write.mode("overwrite").parquet(
                             f"{components_path}/d={v + 1}"
                         )
-            new_sigs.write.mode("append").parquet(store_path)
+            if table_store is not None:
+                table_store.write(store_path, new_sigs, mode="append")
+            else:
+                new_sigs.write.mode("append").parquet(store_path)
         finally:
             # both caches released even when an append throws — foreachBatch
             # retries in a long-lived session would otherwise accumulate

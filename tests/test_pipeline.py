@@ -318,14 +318,11 @@ def test_tablestore_write_id_unique_across_resume(spark, cfg, tmp_path):
     assert meta["n_partitions"] == 2
 
 
-def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
-    """IcebergTableStore issues the exact DataFrameWriterV2 call sequence
-    (writeTo(ns.stage).using(fmt).createOrReplace()/append(), read via
-    spark.read.table) and inherits the params-hash resume gate + per-write
-    lineage. No Iceberg jars in-sandbox, so the catalog is mocked with a
-    parquet-backed fake recording each V2 call."""
-    from finchspark.plans.checkpoint import IcebergTableStore
-
+def _fake_v2_catalog(spark, tmp_path, monkeypatch):
+    """Mock a V2 catalog with a parquet-backed fake recording each
+    DataFrameWriterV2 call; returns (calls, tables). Patches the CONCRETE
+    classes (pyspark 4 routes through pyspark.sql.classic subclasses; the
+    abstract bases are never hit)."""
     calls = []
     tables = {}  # catalog table name -> backing parquet path
 
@@ -347,8 +344,6 @@ def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
             calls.append(("append", self.name))
             self.df.write.mode("append").parquet(tables[self.name])
 
-    # patch the CONCRETE classes (pyspark 4 routes through
-    # pyspark.sql.classic subclasses; the abstract bases are never hit)
     monkeypatch.setattr(
         type(spark.range(1)), "writeTo", lambda self, name: FakeV2Writer(self, name)
     )
@@ -360,6 +355,18 @@ def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
         "tableExists",
         lambda self, name, dbName=None: name in tables,
     )
+    return calls, tables
+
+
+def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
+    """IcebergTableStore issues the exact DataFrameWriterV2 call sequence
+    (writeTo(ns.stage).using(fmt).createOrReplace()/append(), read via
+    spark.read.table) and inherits the params-hash resume gate + per-write
+    lineage. No Iceberg jars in-sandbox, so the catalog is mocked with a
+    parquet-backed fake recording each V2 call."""
+    from finchspark.plans.checkpoint import IcebergTableStore
+
+    calls, tables = _fake_v2_catalog(spark, tmp_path, monkeypatch)
 
     store = IcebergTableStore(
         tmp_path / "meta", cfg.params_hash(), namespace="finch.neardup"

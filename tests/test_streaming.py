@@ -274,3 +274,88 @@ def test_neardup_stream_continuous_clustering(
         ).collect()
     }
     assert want and got == want
+
+
+def test_neardup_stream_iceberg_store(spark, cfg, tmp_path, monkeypatch):
+    """The streaming near-dup path routed entirely through a (mocked-
+    catalog) IcebergTableStore: signatures and pairs are per-epoch V2
+    appends, the component map is a base table + truncating changelog with
+    mid-stream compaction, a second run RESUMES against the same store
+    without re-sketching or re-emitting pairs, and the folded final map
+    equals the batch pipeline's components over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from finchspark.operators.cc import connected_components
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.verify import verify_pairs
+    from finchspark.plans.checkpoint import IcebergTableStore
+    from finchspark.sources.synth import synth_documents
+    from finchspark.streaming.neardup import neardup_stream, store_latest_components
+    from tests.test_pipeline import _fake_v2_catalog
+
+    calls, tables = _fake_v2_catalog(spark, tmp_path, monkeypatch)
+    store = IcebergTableStore(
+        tmp_path / "meta", cfg.params_hash(), namespace="finch.stream"
+    )
+
+    docs, _ = synth_documents(n_base=36)
+    rows = [(d["doc_id"], d["content"]) for d in docs]
+    src = tmp_path / "incoming"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "doc_id long, content string"
+    # run 1: two epochs (compact_every=2 -> the second epoch compacts)
+    for chunk in (rows[:11], rows[11:40]):
+        _docs(spark, chunk).coalesce(1).write.mode("append").parquet(str(src))
+    q = neardup_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        cfg, "signatures", "pairs", ckpt,
+        components_path="components", compact_every=2, table_store=store,
+    )
+    q.awaitTermination(240)
+    assert store.read("signatures").count() == 40
+    assert ("append", "finch.stream.signatures") in calls
+    assert ("append", "finch.stream.pairs") in calls
+    # epoch 0 created the base; epoch 1 appended to the changelog
+    assert calls.count(("createOrReplace", "finch.stream.components")) == 1
+    assert ("append", "finch.stream.components_delta") in calls
+    assert store.read("components_delta").count() > 0
+
+    # run 2 resumes on the same checkpoint + store: only new docs sketched
+    _docs(spark, rows[40:]).coalesce(1).write.mode("append").parquet(str(src))
+    store2 = IcebergTableStore(
+        tmp_path / "meta", cfg.params_hash(), namespace="finch.stream"
+    )
+    q2 = neardup_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        cfg, "signatures", "pairs", ckpt,
+        components_path="components", compact_every=2, table_store=store2,
+    )
+    q2.awaitTermination(240)
+    assert store2.read("signatures").count() == len(rows)  # no re-sketch
+    # run 2's epoch hit the compaction cadence: base rewritten, changelog
+    # truncated via createOrReplace-empty
+    assert calls.count(("createOrReplace", "finch.stream.components")) == 2
+    assert store2.read("components_delta").count() == 0
+    got_pairs = [
+        (r["key_a"], r["key_b"]) for r in store2.read("pairs").collect()
+    ]
+    assert len(got_pairs) == len(set(got_pairs))  # no duplicate pair
+
+    final, _ = store_latest_components(spark, store2, "components")
+    got = {(r["node"], r["component"]) for r in final.collect()}
+    sigs = build_signatures(_docs(spark, rows), cfg, key_cols=("doc_id",))
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    pairs = verify_pairs(cands, sigs, cfg, key_col="doc_id").filter(
+        F.col("jaccard") >= cfg.jaccard_threshold
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        ).collect()
+    }
+    assert want and got == want
+    assert set(got_pairs) == {
+        (r["key_a"], r["key_b"]) for r in pairs.collect()
+    }
