@@ -33,11 +33,14 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """payload → uint8 pixel array (h, w, c).
+    """payload → uint8 pixel array (h, w) or (h, w, c).
 
     PNG decodes for real via the pure-stdlib codec (`kernels/png.py`: zlib
-    inflate + the five scanline filters, numpy reconstruction). Other
-    formats (JPEG/GIF/WebP) genuinely need a codec library this container
+    inflate + the five scanline filters, numpy reconstruction), and
+    baseline JPEG via the pure-numpy JFIF/DCT codec (`kernels/jpeg.py`:
+    Huffman entropy decode, vectorized IDCT, 4:2:0/4:2:2 upsampling,
+    restart intervals; progressive/arithmetic still raise). Remaining
+    formats (GIF/WebP) genuinely need a codec library this container
     doesn't have and raise NotImplementedError — swap in PIL/libvips for
     them in a real deployment."""
     raw = bytes(payload)
@@ -45,9 +48,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from ..kernels.png import decode_png
 
         return decode_png(raw)
+    if raw.startswith(b"\xff\xd8"):
+        from ..kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     raise NotImplementedError(
-        "only PNG decodes without a codec library; got magic "
-        f"{raw[:4].hex() if raw else '<empty>'}"
+        "only PNG and baseline JPEG decode without a codec library; got "
+        f"magic {raw[:4].hex() if raw else '<empty>'}"
     )
 
 
@@ -146,6 +153,8 @@ def extract_image_features(
             for p in pdf.iloc[:, n_key]:
                 try:
                     img = decode_image(bytes(p) if p is not None else b"")
+                    if img.ndim == 2:  # grayscale decoders return (h, w)
+                        img = img[:, :, None]
                     px = img.astype(np.float64)
                     feats["height"].append(img.shape[0])
                     feats["width"].append(img.shape[1])

@@ -79,9 +79,10 @@ def test_multimodal_features(spark):
     assert out[3]["sha256"] == hashlib.sha256(b"").hexdigest()
 
 
-def test_decode_image_png_real_jpeg_stubbed():
+def test_decode_image_png_jpeg_real_gif_stubbed():
     import numpy as np
 
+    from finchspark.kernels.jpeg import encode_jpeg
     from finchspark.kernels.png import encode_png
     from finchspark.operators.multimodal import decode_image
 
@@ -90,8 +91,12 @@ def test_decode_image_png_real_jpeg_stubbed():
     for ft in range(5):  # every PNG scanline filter reconstructs exactly
         out = decode_image(encode_png(img, filter_type=ft))
         assert out.shape == (6, 9, 3) and (out == img).all()
-    with pytest.raises(NotImplementedError):  # JPEG genuinely needs a codec
-        decode_image(b"\xff\xd8\xff\xe0" + bytes(64))
+    smooth = np.full((6, 9, 3), 77, dtype=np.uint8)
+    out = decode_image(encode_jpeg(smooth, quality=95))  # baseline JPEG real
+    assert out.shape == (6, 9, 3)
+    assert np.abs(out.astype(int) - 77).max() <= 2
+    with pytest.raises(NotImplementedError):  # GIF genuinely needs a codec
+        decode_image(b"GIF89a" + bytes(64))
     with pytest.raises(ValueError):  # truncated PNG fails loudly, not wrongly
         decode_image(encode_png(img)[:-8])
 
@@ -141,8 +146,12 @@ def test_extract_image_features(spark):
     img1[:, :, 1] = 200
     rows = [
         (1, bytearray(encode_png(img1, filter_type=4))),
-        (2, bytearray(b"\xff\xd8\xff" + bytes(32))),  # jpeg -> decode_error row
+        (2, bytearray(b"\xff\xd8\xff" + bytes(32))),  # garbage jpeg -> error row
     ]
+    from finchspark.kernels.jpeg import encode_jpeg
+
+    img3 = np.full((5, 4), 99, dtype=np.uint8)  # grayscale baseline JPEG
+    rows.append((3, bytearray(encode_jpeg(img3, quality=95))))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in extract_image_features(df).collect()}
     r1 = out[1]
@@ -150,8 +159,12 @@ def test_extract_image_features(spark):
     assert r1["channel_means"] == [10.0, 200.0, 10.0]
     assert abs(r1["mean_pixel"] - (10 + 200 + 10) / 3) < 1e-12
     assert r1["decode_error"] is None
-    assert out[2]["decode_error"].startswith("NotImplementedError")
+    assert out[2]["decode_error"].startswith("ValueError")  # poisoned payload
     assert out[2]["height"] is None
+    r3 = out[3]  # real grayscale JPEG decode through the feature operator
+    assert (r3["height"], r3["width"], r3["channels"]) == (5, 4, 1)
+    assert abs(r3["mean_pixel"] - 99.0) <= 2.0
+    assert r3["decode_error"] is None
 
 
 def test_api_sketch_and_compare():
@@ -495,8 +508,11 @@ def test_resize_images_roundtrip(spark):
     rows = [
         (0, bytearray(encode_png(solid))),
         (1, bytearray(encode_png(grad))),
-        (2, bytearray(b"\xff\xd8\xffjpegish")),
+        (2, bytearray(b"GIF89a-ish payload")),
     ]
+    from finchspark.kernels.jpeg import encode_jpeg
+
+    rows.append((3, bytearray(encode_jpeg(solid, quality=95))))  # JPEG in
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in resize_images(df, 8, 12).collect()}
     out0 = decode_png(bytes(got[0]["payload_resized"]))
@@ -506,6 +522,9 @@ def test_resize_images_roundtrip(spark):
     assert out1.shape == (8, 12, 3)
     assert (np.diff(out1[0, :, 0].astype(int)) >= 0).all()  # gradient preserved
     assert got[2]["payload_resized"] is None and "NotImplementedError" in got[2]["decode_error"]
+    out3 = decode_png(bytes(got[3]["payload_resized"]))  # JPEG -> resize -> PNG
+    assert out3.shape == (8, 12, 3)
+    assert np.abs(out3.astype(int) - np.array([10, 200, 77])).max() <= 3
 
     # kernel-level identities: identity resize == input; nearest on 2x
     # upscale repeats pixels
