@@ -27,7 +27,9 @@ tests; (2) byte-level wire pins (header, pointer kinds, word layout); and
 parses the reference's own `finch.capnp`, re-derives every field offset
 mechanically with the spec's first-fit algorithm, and decodes this
 writer's bytes sharing no code with this module
-(`test_bsk_decodes_under_reference_schema`). A byte stream produced by the
+(`test_bsk_decodes_under_reference_schema`), hypothesis-fuzzed over 280
+random sketch populations incl. multi-segment/far-pointer re-framings
+(`tests/test_capnp_fuzz.py`). A byte stream produced by the
 actual Rust writer has still never been read back (no Rust toolchain /
 network in the sandbox) — the residual risk is limited to the two
 implementations interpreting the SPEC differently, not the schema.
