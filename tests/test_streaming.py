@@ -359,3 +359,72 @@ def test_neardup_stream_iceberg_store(spark, cfg, tmp_path, monkeypatch):
     assert set(got_pairs) == {
         (r["key_a"], r["key_b"]) for r in pairs.collect()
     }
+
+
+def test_neardup_stream_recovers_from_partial_component_write(
+    spark, cfg, tmp_path
+):
+    """System-level crash recovery (ADVICE r4 medium): after epoch 1 a
+    partial component version is planted (a crash mid-write: directory
+    present, no _SUCCESS) — the restarted stream must resume from the last
+    COMMITTED version, overwrite the partial directory, and still converge
+    to the batch closure."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from finchspark.operators.cc import connected_components
+    from finchspark.operators.lsh import candidate_pairs
+    from finchspark.operators.verify import verify_pairs
+    from finchspark.sources.synth import synth_documents
+    from finchspark.streaming.neardup import latest_components, neardup_stream
+
+    docs, _ = synth_documents(n_base=30)
+    rows = [(d["doc_id"], d["content"]) for d in docs]
+    src = tmp_path / "incoming"
+    comp = str(tmp_path / "components")
+    src.mkdir()
+    schema = "doc_id long, content string"
+
+    _docs(spark, rows[:18]).coalesce(1).write.mode("append").parquet(str(src))
+    q = neardup_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        cfg, str(tmp_path / "store"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), components_path=comp,
+    )
+    q.awaitTermination(240)
+    committed = sorted(os.listdir(comp))
+    assert any((tmp_path / "components" / d / "_SUCCESS").exists() for d in committed)
+
+    # simulated crash mid-write of the NEXT version: partial dir, no _SUCCESS
+    partial = os.path.join(comp, "d=1")
+    os.makedirs(os.path.join(partial, "_temporary"), exist_ok=True)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage from a crashed writer")
+
+    _docs(spark, rows[18:]).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = neardup_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        cfg, str(tmp_path / "store"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), components_path=comp,
+    )
+    q2.awaitTermination(240)
+
+    final, _ = latest_components(spark, comp)
+    got = {(r["node"], r["component"]) for r in final.collect()}
+    from finchspark.operators.signature import build_signatures as _bs
+
+    sigs = _bs(_docs(spark, rows), cfg, key_cols=("doc_id",))
+    cands, _ = candidate_pairs(sigs, cfg.lsh, key_col="doc_id")
+    pairs = verify_pairs(cands, sigs, cfg, key_col="doc_id").filter(
+        F.col("jaccard") >= cfg.jaccard_threshold
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        ).collect()
+    }
+    assert want and got == want
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
