@@ -35,14 +35,16 @@ MEDIA_META_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "np.ndarray":
     """payload → uint8 pixel array (h, w) or (h, w, c).
 
-    PNG decodes for real via the pure-stdlib codec (`kernels/png.py`: zlib
-    inflate + the five scanline filters, numpy reconstruction), and
-    baseline JPEG via the pure-numpy JFIF/DCT codec (`kernels/jpeg.py`:
-    Huffman entropy decode, vectorized IDCT, 4:2:0/4:2:2 upsampling,
-    restart intervals; progressive/arithmetic still raise). Remaining
-    formats (GIF/WebP) genuinely need a codec library this container
-    doesn't have and raise NotImplementedError — swap in PIL/libvips for
-    them in a real deployment."""
+    The three dominant web formats decode for REAL via pure-stdlib/numpy
+    codecs: PNG (`kernels/png.py`: zlib inflate + the five scanline
+    filters), baseline JPEG (`kernels/jpeg.py`: Huffman entropy decode,
+    vectorized IDCT, 4:2:0/4:2:2 upsampling, restart intervals;
+    progressive/arithmetic still raise), and GIF (`kernels/gif.py`:
+    variable-width LZW, interlacing, transparency — first composited
+    frame; `decode_gif_frames` for animations). WebP genuinely needs a
+    codec library this container doesn't have and raises
+    NotImplementedError — swap in PIL/libvips for it in a real
+    deployment."""
     raw = bytes(payload)
     if raw.startswith(b"\x89PNG"):
         from ..kernels.png import decode_png
@@ -52,9 +54,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from ..kernels.jpeg import decode_jpeg
 
         return decode_jpeg(raw)
+    if raw.startswith(b"GIF8"):
+        from ..kernels.gif import decode_gif
+
+        return decode_gif(raw)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode without a codec library; got "
-        f"magic {raw[:4].hex() if raw else '<empty>'}"
+        "only PNG, baseline JPEG, and GIF decode without a codec library; "
+        f"got magic {raw[:4].hex() if raw else '<empty>'}"
     )
 
 

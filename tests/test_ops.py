@@ -79,7 +79,7 @@ def test_multimodal_features(spark):
     assert out[3]["sha256"] == hashlib.sha256(b"").hexdigest()
 
 
-def test_decode_image_png_jpeg_real_gif_stubbed():
+def test_decode_image_png_jpeg_gif_real_webp_stubbed():
     import numpy as np
 
     from finchspark.kernels.jpeg import encode_jpeg
@@ -95,8 +95,13 @@ def test_decode_image_png_jpeg_real_gif_stubbed():
     out = decode_image(encode_jpeg(smooth, quality=95))  # baseline JPEG real
     assert out.shape == (6, 9, 3)
     assert np.abs(out.astype(int) - 77).max() <= 2
-    with pytest.raises(NotImplementedError):  # GIF genuinely needs a codec
-        decode_image(b"GIF89a" + bytes(64))
+    from finchspark.kernels.gif import encode_gif
+
+    gimg = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], np.uint8)
+    out = decode_image(encode_gif(gimg))  # GIF real (palette exact)
+    assert (out == gimg).all()
+    with pytest.raises(NotImplementedError):  # WebP genuinely needs a codec
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP" + bytes(64))
     with pytest.raises(ValueError):  # truncated PNG fails loudly, not wrongly
         decode_image(encode_png(img)[:-8])
 
@@ -508,7 +513,7 @@ def test_resize_images_roundtrip(spark):
     rows = [
         (0, bytearray(encode_png(solid))),
         (1, bytearray(encode_png(grad))),
-        (2, bytearray(b"GIF89a-ish payload")),
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WEBP-ish")),
     ]
     from finchspark.kernels.jpeg import encode_jpeg
 
