@@ -1311,8 +1311,9 @@ co as (
   from d a join d b on a.gram = b.gram and b.doc_id > a.doc_id
 ),
 m as (
-  select key_a, key_b, count(*) as common, sum(ac) as ref_count,
-         sum(qc) as query_count, avg(qc) as mean
+  select key_a, key_b, count(*) as common,
+         cast(sum(ac) as bigint) as ref_count,
+         cast(sum(qc) as bigint) as query_count, avg(qc) as mean
   from co group by 1, 2
 ),
 p as (

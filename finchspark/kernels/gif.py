@@ -27,8 +27,15 @@ import struct
 import numpy as np
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
-    """Variable-width LSB-first LZW per GIF89a appendix F."""
+def _lzw_decode(
+    min_code_size: int, data: bytes, max_pixels: int | None = None
+) -> list[int]:
+    """Variable-width LSB-first LZW per GIF89a appendix F.
+
+    `max_pixels` caps the output length (the frame's iw*ih): decoding stops
+    as soon as enough indices are produced, so a small crafted payload whose
+    dictionary entries balloon (decompression bomb) cannot expand past the
+    frame's own pixel budget before the size check."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -69,6 +76,8 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
         else:
             raise ValueError(f"LZW: code {code} out of range")
         out.extend(entry)
+        if max_pixels is not None and len(out) >= max_pixels:
+            return out
         if prev is not None and len(table) < 4096:
             table.append(prev + [entry[0]])
         if len(table) == (1 << width) and width < 12:
@@ -187,6 +196,14 @@ def decode_gif_frames(data: bytes):
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos - 1}")
         left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
+        # reject rects past the logical screen up front: numpy would
+        # silently clip the canvas slice to a smaller region than the
+        # (ih, iw) mask and raise a raw IndexError deep in the paint
+        if left + iw > w or top + ih > h:
+            raise ValueError(
+                f"GIF frame rect {iw}x{ih}+{left}+{top} exceeds logical "
+                f"screen {w}x{h}"
+            )
         pal = global_pal
         if ipacked & 0x80:
             n = 2 << (ipacked & 7)
@@ -202,7 +219,7 @@ def decode_gif_frames(data: bytes):
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _lzw_decode(min_code, bytes(lzw))
+        idx = _lzw_decode(min_code, bytes(lzw), max_pixels=iw * ih)
         if len(idx) < iw * ih:
             raise ValueError(
                 f"GIF frame decoded {len(idx)} pixels, needs {iw * ih}"

@@ -211,9 +211,14 @@ def _parse(data: bytes) -> tuple[_Frame, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # (the marker code is the first non-0xFF byte after a run of 0xFF)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: no body
+        # SOI / RSTn / TEM (0x01): standalone markers, no length-bearing body
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         (length,) = struct.unpack(">H", data[pos : pos + 2])
         if length < 2:

@@ -292,6 +292,20 @@ def connected_components_incremental_delta(
     the previous persisted map up to date: applying `changed` over `prev`
     (override by node) reproduces `full_map` exactly
     (tests/test_cc.py::test_cc_incremental_delta_rows)."""
+    # Auto-sizing the remap broadcast needs an edge count — a full action.
+    # Materialize the delta edges ONCE up front (eager localCheckpoint) so
+    # the count, the endpoint projection, and the delta CC all read the
+    # materialized blocks instead of re-executing the caller's upstream plan
+    # (LSH + verify) once per consumer; the blocks are delta-bounded and the
+    # ContextCleaner frees them when the checkpointed RDD goes out of scope.
+    # Callers that know their epoch shape (e.g. the streaming path, whose
+    # `kept` frame is already persisted) pass broadcast_remap explicitly and
+    # skip the materialization.
+    if broadcast_remap is None:
+        new_edges = new_edges.select("src", "dst").localCheckpoint(eager=True)
+        _n_edges = new_edges.count()
+    else:
+        _n_edges = None
     # project endpoints onto previous representatives
     ra = prev.select(F.col("node").alias("src"), F.col("component").alias("__ra"))
     rb = prev.select(F.col("node").alias("dst"), F.col("component").alias("__rb"))
@@ -316,11 +330,11 @@ def connected_components_incremental_delta(
     # existing layout. The hint is GUARDED: a bulk epoch (initial backfill,
     # large catch-up batch) can make the delta corpus-sized, and forcing the
     # broadcast would OOM the executors past Spark's own safety threshold.
-    # `broadcast_remap=None` decides from the epoch's edge count (a cheap
-    # action over new_edges, which streaming callers already have cached);
+    # `broadcast_remap=None` decides from the epoch's edge count (computed
+    # once at function entry over the materialized delta edges);
     # True/False overrides for callers that know their epoch shape.
     if broadcast_remap is None:
-        broadcast_remap = new_edges.count() <= _BROADCAST_REMAP_MAX_EDGES
+        broadcast_remap = _n_edges <= _BROADCAST_REMAP_MAX_EDGES
     joined = prev.join(
         F.broadcast(remap) if broadcast_remap else remap, "component", "left"
     )

@@ -100,18 +100,30 @@ def store_latest_components(spark, table_store, stage: str):
     """(DataFrame | None, n_delta_epochs): the component map maintained in a
     TableStore as BASE table `stage` + append-only changelog `stage`_delta
     (the Iceberg-shaped twin of the path-based snapshot+delta layout): fold
-    = base overridden per node by the latest-epoch delta row. The delta
-    table is truncated (createOrReplace empty) at each compaction, so every
-    delta row is newer than the base by construction."""
+    = base overridden per node by the latest-epoch delta row, for delta rows
+    STRICTLY NEWER than the base's `folded_epoch` watermark.
+
+    Crash-safety: compaction is two writes (replace base, truncate
+    changelog) and a crash between them leaves the new base plus the
+    pre-compaction delta rows. The watermark column — written atomically
+    WITH the base data in the same table commit — makes that state a no-op:
+    every leftover delta row has epoch_id <= folded_epoch and is ignored, so
+    a half-finished compaction degrades to "changelog not yet truncated"
+    instead of stale deltas overriding fresh base labels."""
     from pyspark.sql.window import Window
 
     delta_stage = f"{stage}_delta"
     if not table_store.exists(stage):
         return None, 0
     base = table_store.read(stage)
+    watermark = -1
+    if "folded_epoch" in base.columns:
+        row = base.select(F.max("folded_epoch").alias("w")).first()
+        watermark = row["w"] if row["w"] is not None else -1
+        base = base.drop("folded_epoch")
     if not table_store.exists(delta_stage):
         return base, 0
-    d = table_store.read(delta_stage)
+    d = table_store.read(delta_stage).filter(F.col("epoch_id") > watermark)
     epochs = [r["epoch_id"] for r in d.select("epoch_id").distinct().collect()]
     if not epochs:
         return base, 0
@@ -199,7 +211,12 @@ def neardup_stream(
             kept = pairs.filter(
                 F.col("jaccard") >= config.jaccard_threshold
             ).persist()
-            tagged_pairs = kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            # always cast("long"): F.lit(int) is int32 for small epochs, and
+            # mixed int32/int64 parquet files for one column make the
+            # vectorized reader schema-dependent on file listing order
+            tagged_pairs = kept.withColumn(
+                "epoch_id", F.lit(int(epoch_id)).cast("long")
+            )
             if table_store is not None:
                 table_store.write(pairs_path, tagged_pairs, mode="append")
             else:
@@ -217,9 +234,16 @@ def neardup_stream(
                 prev, n_delta = store_latest_components(
                     spark, table_store, components_path
                 )
+                epoch_l = F.lit(int(epoch_id)).cast("long")
                 if prev is None:
                     full = connected_components(edges)
-                    table_store.write(components_path, full)
+                    # folded_epoch watermark rides IN the base table so it
+                    # commits atomically with the data (see
+                    # store_latest_components crash-safety note)
+                    table_store.write(
+                        components_path,
+                        full.withColumn("folded_epoch", epoch_l),
+                    )
                     # initialize the changelog empty with the final schema
                     table_store.write(
                         delta_stage,
@@ -232,13 +256,20 @@ def neardup_stream(
                         prev, edges
                     )
                     if n_delta + 1 >= compact_every:
-                        # compaction: rewrite the base, truncate the
-                        # changelog. localCheckpoint breaks the plan's
+                        # compaction: rewrite the base (carrying the new
+                        # folded_epoch watermark in the same commit), then
+                        # truncate the changelog. A crash between the two
+                        # writes is safe: leftover delta rows all have
+                        # epoch_id <= the new watermark and are ignored on
+                        # the next fold. localCheckpoint breaks the plan's
                         # lineage through the table being replaced (real
                         # Iceberg pins the read snapshot; a parquet-backed
                         # store would otherwise read its own overwrite)
                         full = full.localCheckpoint(eager=True)
-                        table_store.write(components_path, full)
+                        table_store.write(
+                            components_path,
+                            full.withColumn("folded_epoch", epoch_l),
+                        )
                         table_store.write(
                             delta_stage,
                             full.limit(0).withColumn(
@@ -249,7 +280,7 @@ def neardup_stream(
                         table_store.write(
                             delta_stage,
                             changed.localCheckpoint(eager=True).withColumn(
-                                "epoch_id", F.lit(int(epoch_id))
+                                "epoch_id", epoch_l
                             ),
                             mode="append",
                         )

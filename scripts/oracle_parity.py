@@ -20,19 +20,16 @@ import __spark_entry__ as entry  # noqa: E402
 
 
 def normalize(rows, cols):
+    """Typed, repr-level row canonicalization.
+
+    Deliberately as strict as the driver's typed value-hash: no float
+    re-rounding, no -0.0 fixup, and the Python type is part of the key so
+    a DuckDB HUGEINT/Decimal vs Spark int64 mismatch FAILS here exactly
+    like it fails the driver gate (the round-5 compare_counts_full lesson).
+    """
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        key = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-                if v == -0.0:
-                    v = 0.0
-            key.append(v)
-        out.append(tuple(key))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out = [tuple((type(r[i]).__name__, repr(r[i])) for i in idx) for r in rows]
+    out.sort()
     return out
 
 

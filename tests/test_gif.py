@@ -128,3 +128,84 @@ def test_gif_through_decode_image_and_features(spark):
     assert (r["height"], r["width"], r["channels"]) == (7, 9, 3)
     assert r["decode_error"] is None
     assert abs(r["mean_pixel"] - img.astype(float).mean()) < 1e-9
+
+
+def _descriptor_offset(data: bytes) -> int:
+    """Offset of the 0x2C image descriptor, walked structurally (searching
+    bytes would false-positive inside the palette)."""
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    while data[pos] == 0x21:  # extensions: label + sub-blocks
+        pos += 2
+        while data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+    assert data[pos] == 0x2C
+    return pos
+
+
+def test_frame_rect_past_screen_is_value_error():
+    """A descriptor whose rect extends past the logical screen must raise a
+    ValueError up front, not a raw numpy IndexError from the paint slice
+    (round-5 ADVICE)."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(encode_gif(img))
+    pos = _descriptor_offset(bytes(data))
+    struct.pack_into("<H", data, pos + 1, 2)  # left=2, so left+iw=6 > w=4
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        decode_gif(bytes(data))
+    data = bytearray(encode_gif(img))
+    struct.pack_into("<H", data, pos + 3, 3)  # top=3, so top+ih=7 > h=4
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        decode_gif(bytes(data))
+
+
+def test_lzw_bomb_capped_by_max_pixels():
+    """A tiny crafted payload whose KwKwK chain balloons quadratically must
+    stop expanding at max_pixels instead of materializing the whole bomb
+    (round-5 ADVICE)."""
+    mcs = 2
+    clear, width0 = 1 << mcs, mcs + 1
+
+    def pack(codes):
+        # mirrors the decoder's table/width bookkeeping exactly: the table
+        # grows one entry per code starting from the SECOND code after a
+        # clear, and the width bumps when the table fills the current width
+        acc = nbits = 0
+        out = bytearray()
+        width = width0
+        table_len = clear + 2
+        have_prev = False
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                width, table_len, have_prev = width0, clear + 2, False
+            else:
+                if have_prev and table_len < 4096:
+                    table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+                have_prev = True
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # clear, 0, then 400x the KwKwK code (== len(table)): entry k has
+    # length k+1, so full expansion is ~400^2/2 = 80k pixels from ~600 bytes
+    codes = [clear, 0]
+    table_len = clear + 2
+    for _ in range(400):
+        codes.append(table_len)
+        table_len += 1
+    payload = pack(codes)
+    full = _lzw_decode(mcs, payload)
+    assert len(full) > 80_000
+    capped = _lzw_decode(mcs, payload, max_pixels=1_000)
+    assert 1_000 <= len(capped) < 1_100  # stops within one entry of the cap

@@ -154,3 +154,20 @@ def test_16bit_dqt_precision_parsed():
     data[i + 2 : i + 4 + 65] = new_seg
     out = decode_jpeg(bytes(data))
     assert np.abs(out.astype(int) - 90).max() <= 2
+
+
+def test_fill_bytes_and_tem_marker_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    and TEM (0xFF01) is a standalone marker with no length-bearing body —
+    both spec-legal streams must parse (round-5 ADVICE)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_jpeg(img, quality=95)
+    want = decode_jpeg(data)
+    i = data.find(b"\xff\xdb")  # first DQT
+    assert i > 0
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]  # fill bytes before DQT
+    assert (decode_jpeg(padded) == want).all()
+    with_tem = data[:i] + b"\xff\x01" + data[i:]  # standalone TEM marker
+    assert (decode_jpeg(with_tem) == want).all()
+    both = data[:i] + b"\xff\xff\x01\xff\xff" + data[i:]
+    assert (decode_jpeg(both) == want).all()

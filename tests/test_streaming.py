@@ -428,3 +428,72 @@ def test_neardup_stream_recovers_from_partial_component_write(
     }
     assert want and got == want
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_compaction_crash_window_is_noop(spark, tmp_path):
+    """A crash BETWEEN the two compaction writes (new base committed,
+    changelog not yet truncated) must degrade to a no-op fold: the base's
+    in-table folded_epoch watermark makes store_latest_components ignore
+    every leftover delta row with epoch_id <= watermark, so stale
+    pre-compaction labels can never override the fresh base."""
+    from pyspark.sql import functions as F
+
+    from finchspark.plans.checkpoint import TableStore
+    from finchspark.streaming.neardup import store_latest_components
+
+    store = TableStore(tmp_path / "meta", params_hash="t")
+    # fresh base as the compaction at epoch 5 wrote it (watermark IN-table)
+    base = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "node long, component long"
+    ).withColumn("folded_epoch", F.lit(5).cast("long"))
+    store.write("components", base)
+    # the crash left the pre-compaction changelog in place: stale labels
+    # from epochs <= 5 (already folded into the base) plus one genuinely
+    # newer epoch-6 delta
+    delta = spark.createDataFrame(
+        [(1, 99, 3), (2, 99, 4), (3, 30, 6), (4, 30, 6)],
+        "node long, component long, epoch_id long",
+    )
+    store.write("components_delta", delta)
+
+    folded, n_delta = store_latest_components(spark, store, "components")
+    assert "folded_epoch" not in folded.columns
+    got = {(r["node"], r["component"]) for r in folded.collect()}
+    # stale epoch-3/4 rows ignored; epoch-6 delta applied
+    assert got == {(1, 10), (2, 10), (3, 30), (4, 30)}
+    assert n_delta == 1  # only the post-watermark epoch counts
+
+
+def test_changelog_epoch_id_is_always_long(spark, tmp_path, cfg):
+    """Every epoch_id written by the streaming table-store path is int64:
+    mixed int32/int64 parquet files for one column make the vectorized
+    reader schema-dependent on file listing order (round-5 ADVICE)."""
+    from finchspark.plans.checkpoint import TableStore
+    from finchspark.streaming.neardup import neardup_stream
+
+    store = TableStore(tmp_path / "meta", cfg.params_hash())
+    rows = [
+        (i, f"streamed document body {i % 4} with shared text " * 6)
+        for i in range(24)
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for chunk in (rows[:12], rows[12:]):
+        _docs(spark, chunk).coalesce(1).write.mode("append").parquet(str(src))
+    q = neardup_stream(
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        cfg,
+        "signatures",
+        "pairs",
+        str(tmp_path / "ckpt"),
+        components_path="components",
+        compact_every=10,  # never compacts: both epochs append deltas
+        table_store=store,
+    )
+    q.awaitTermination(240)
+    for stage in ("pairs", "components_delta"):
+        df = store.read(stage)
+        assert dict(df.dtypes)["epoch_id"] == "bigint", stage
+    assert dict(store.read("components").dtypes)["folded_epoch"] == "bigint"
