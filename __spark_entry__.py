@@ -844,11 +844,13 @@ def _q_cosine_topk(spark, sf):
 def _q_ann_lsh(spark, sf):
     from finchspark.operators.ann import cosine_topk_lsh
 
-    # 32 tables: measured recall@k = 1.0 vs exact top-k on the driver data,
-    # so the exact ranking SQL is a valid value-oracle (same determinism
-    # argument as lsh_recall; a recall regression breaks the hash)
+    # 64 tables: measured recall@k = 1.0 vs exact top-k on the driver data
+    # at BOTH sf0.01 and sf0.1 (32 tables missed one true rank-5 neighbor
+    # at sf0.1 — caught by the round-6 full-scale sweep), so the exact
+    # ranking SQL is a valid value-oracle (same determinism argument as
+    # lsh_recall; a recall regression breaks the hash)
     out = cosine_topk_lsh(
-        _embeddings(spark, sf), k=ANN_K, query_mod=ANN_MOD, n_bits=4, n_tables=32
+        _embeddings(spark, sf), k=ANN_K, query_mod=ANN_MOD, n_bits=4, n_tables=64
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
@@ -1041,8 +1043,307 @@ from h
 """
 
 
+# ---------------------------------------------------------------------------
+# murmur3-x64-128 (low64, seed 0) expressed in pure DuckDB SQL.
+#
+# The engine's sketch hash (`finchspark/kernels/murmur3.py`, ref
+# `lib/src/hashing.rs`) was previously oracle-unreachable — DuckDB has no
+# murmur3-x64-128 — leaving the sketch-valued queries (kmv_cardinality,
+# signature_diagnostics, depth_histogram, simhash_pairs, near_dup_pairs,
+# cc_neardup) rows-only. This generator emits the full algorithm as ONE SQL
+# statement (nested projections, no macros / multi-statement tricks, so any
+# harness that can run `select` can run it), bit-exact against the numpy
+# kernel (tests/test_oracle_parity.py::test_mm3_sql_bit_exact).
+#
+# Scope: inputs of a fixed byte length in (16, 24] — one 16-byte block plus
+# a <=8-byte tail, exactly the K=21 shingle case. u64 arithmetic on DuckDB:
+# UBIGINT for bitwise ops; multiplication decomposes into 32-bit halves
+# (64x64 products overflow even HUGEINT) with partial products summed in
+# HUGEINT mod 2^64; rotl's left shift becomes a HUGEINT multiply by 2^r
+# (DuckDB `<<` raises on overflow instead of wrapping). Byte extraction is
+# ascii(substring(...)) — valid for the driver's ASCII corpus, the same
+# documented assumption every `_KGRAMS` oracle already makes.
+# ---------------------------------------------------------------------------
+_MM3_U64 = 1 << 64
+_MM3_C1 = 0x87C37B91114253D5
+_MM3_C2 = 0x4CF5AD432745937F
+
+
+def _mm3_add(a: str, b: str) -> str:
+    return (
+        f"CAST((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT))"
+        f" % {_MM3_U64} AS UBIGINT)"
+    )
+
+
+def _mm3_mul(a: str, c: int) -> str:
+    """(a * c) mod 2^64 for a column `a` and constant c, via 32-bit halves."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    lo = f"CAST(({a} & 4294967295::UBIGINT) * {cl}::UBIGINT AS HUGEINT)"
+    cross = (
+        f"((CAST(({a} >> 32) * {cl}::UBIGINT AS HUGEINT)"
+        f" + CAST(({a} & 4294967295::UBIGINT) * {ch}::UBIGINT AS HUGEINT))"
+        f" % 4294967296) * 4294967296"
+    )
+    return f"CAST(({lo} + {cross}) % {_MM3_U64} AS UBIGINT)"
+
+
+def _mm3_rotl(x: str, r: int) -> str:
+    return (
+        f"(CAST((CAST({x} AS HUGEINT) * {1 << r}) % {_MM3_U64} AS UBIGINT)"
+        f" | ({x} >> {64 - r}))"
+    )
+
+
+def _mm3_sxor(x: str, s: int = 33) -> str:
+    return f"xor({x}, ({x} >> {s}))"
+
+
+def _mm3_word(col: str, j0: int, nbytes: int) -> str:
+    """Little-endian u64 from bytes [j0, j0+nbytes) of an ASCII column."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST(ascii(substring({col}, {j0 + t + 1}, 1)) AS UBIGINT)"
+            f" * {1 << (8 * t)}::UBIGINT"
+            for t in range(nbytes)
+        )
+        + ")"
+    )
+
+
+def _mm3_subquery(src_sql: str, length: int = K, carry: str = "gram") -> str:
+    """`select {carry}, mm from ...` where mm = murmur3_x64_128(gram)[0:8]
+    LE (the low64 the sketch kernel uses), seed 0, for `gram` values of
+    exactly `length` bytes. Built as a chain of nested projections so every
+    multiply/rotate argument is a plain column (expression size stays
+    linear in the number of ops)."""
+    if not 16 < length <= 24:
+        raise ValueError("single-block + k1-tail layout requires 16 < len <= 24")
+    g, tail = "gram", length - 16
+    m, r, a, x, sx = _mm3_mul, _mm3_rotl, _mm3_add, "xor({}, {})".format, _mm3_sxor
+    levels: list[dict[str, str]] = [
+        {"k1": _mm3_word(g, 0, 8), "k2": _mm3_word(g, 8, 8), "tk": _mm3_word(g, 16, tail)},
+        {"a1": m("k1", _MM3_C1), "d1": m("k2", _MM3_C2), "t1": m("tk", _MM3_C1)},
+        {"a2": r("a1", 31), "d2": r("d1", 33), "t2": r("t1", 31)},
+        {"a3": m("a2", _MM3_C2), "d3": m("d2", _MM3_C1), "t3": m("t2", _MM3_C2)},
+        # h1 = rotl(0^a3, 27)*5 + 0x52dce729 ; h2 path folds in h1
+        {"h1b": r("a3", 27), "e1": r("d3", 31)},
+        {"h1c": a(m("h1b", 5), f"{0x52DCE729}::UBIGINT")},
+        {"e2": a("e1", "h1c")},
+        {"h2c": a(m("e2", 5), f"{0x38495AB5}::UBIGINT")},
+        # tail (<=8 bytes -> k1 lane only), then finalization
+        {"h1d": x("h1c", "t3")},
+        {"h1e": x("h1d", f"{length}::UBIGINT"), "h2e": x("h2c", f"{length}::UBIGINT")},
+        {"h1f": a("h1e", "h2e")},
+        {"h2f": a("h2e", "h1f")},
+        {"f1": sx("h1f"), "g1": sx("h2f")},
+        {"f2": m("f1", 0xFF51AFD7ED558CCD), "g2": m("g1", 0xFF51AFD7ED558CCD)},
+        {"f3": sx("f2"), "g3": sx("g2")},
+        {"f4": m("f3", 0xC4CEB9FE1A85EC53), "g4": m("g3", 0xC4CEB9FE1A85EC53)},
+        {"f5": sx("f4"), "g5": sx("g4")},
+        {"mm": a("f5", "g5")},
+    ]
+    sql = src_sql
+    for lvl in levels:
+        cols = ", ".join(f"{e} AS {al}" for al, e in lvl.items())
+        sql = f"select *, {cols} from ({sql})"
+    return f"select {carry}, mm from ({sql})"
+
+
+# shared CTE prefix for every sketch-valued oracle: per-doc gram counts,
+# per-(doc, hash) depth (grams colliding on low64 merge, like the kernel),
+# and the ascending bottom-SKETCH_SIZE sketch — hashed once over the
+# corpus-wide DISTINCT gram set, not once per occurrence
+_MM3_PREFIX = f"""
+with occ as (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents),
+ug as (select distinct gram from occ),
+hh as ({{hh}}),
+dg as (select doc_id, gram, count(*) as cnt from occ group by 1, 2),
+dh as (select d.doc_id, h.mm, CAST(sum(d.cnt) AS BIGINT) as cnt
+       from dg d join hh h using (gram) group by 1, 2),
+sk128 as (
+  select doc_id, mm, cnt from (
+    select doc_id, mm, cnt,
+           row_number() over (partition by doc_id order by mm) as rn
+    from dh
+  ) where rn <= {SKETCH_SIZE}
+)"""
+
+
+def _mm3_prefix() -> str:
+    return _MM3_PREFIX.format(hh=_mm3_subquery("select gram from ug"))
+
+
+def _mm3_simhash_ctes() -> str:
+    """CTEs sv/sh: per-doc total shingle occurrences and the Charikar
+    SimHash over ALL occurrences (kernels/simhash.py: per-bit vote
+    2*ones - total > 0), assembled as a UBIGINT bit pattern."""
+    bits = ",\n       ".join(
+        f"sum(CAST((mm >> {j}) & 1 AS BIGINT) * cnt) as s{j}" for j in range(64)
+    )
+    asm = "\n     + ".join(
+        f"(CASE WHEN 2 * s{j} > n_occ THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f""",
+sv as (select doc_id, CAST(sum(cnt) AS BIGINT) as n_occ,
+       {bits}
+       from dh group by doc_id),
+sh as (select doc_id, n_occ, ({asm}) as sim_u from sv)"""
+
+
+# raw_distance stop rule (kernels/distance.py:35-73, ref distance.rs:66-126)
+# over bottom-k sketches, as CTEs appended to _mm3_prefix(): candidate pairs
+# share >= 1 sketch hash (est-jaccard > 0 requires it), i/j are the
+# two-pointer stop positions, key_a = query / key_b = reference
+_MM3_VERIFY_CTES = f""",
+st as (select doc_id, count(*) as sz, max(mm) as mx from sk128 group by doc_id),
+cand as (select a.doc_id as key_a, b.doc_id as key_b, count(*) as common
+         from sk128 a join sk128 b on a.mm = b.mm and b.doc_id > a.doc_id
+         group by 1, 2),
+ble as (select c.key_a, c.key_b, count(*) as n
+        from cand c
+        join st sa on sa.doc_id = c.key_a
+        join sk128 b on b.doc_id = c.key_b and b.mm <= sa.mx
+        group by 1, 2),
+ale as (select c.key_a, c.key_b, count(*) as n
+        from cand c
+        join st sb on sb.doc_id = c.key_b
+        join sk128 a on a.doc_id = c.key_a and a.mm <= sb.mx
+        group by 1, 2),
+v as (
+  select c.key_a, c.key_b,
+    c.common / CAST(stops.i - c.common + stops.j AS DOUBLE) as jaccard,
+    c.common / CAST(stops.j AS DOUBLE) as containment,
+    CAST(c.common AS BIGINT) as common_hashes,
+    CAST(stops.i - c.common + stops.j AS BIGINT) as total_hashes
+  from cand c
+  join st sa on sa.doc_id = c.key_a
+  join st sb on sb.doc_id = c.key_b
+  join ble bl on bl.key_a = c.key_a and bl.key_b = c.key_b
+  join ale al on al.key_a = c.key_a and al.key_b = c.key_b,
+  lateral (select
+    CASE WHEN sa.mx <= sb.mx THEN sa.sz ELSE al.n END as i,
+    CASE WHEN sa.mx = sb.mx THEN sb.sz
+         WHEN sa.mx < sb.mx THEN bl.n ELSE sb.sz END as j) stops
+)"""
+
+_MM3_MASH = (
+    "round(case when jaccard <= 0.0 then 1.0"
+    " else least(1.0, greatest(0.0, -ln(2*jaccard/(1+jaccard))/{k})) end, 9)"
+).format(k=K)
+
+
+def _oracle_sql_mm3() -> dict[str, str]:
+    """Exact SQL twins for the previously murmur-bound queries, built on the
+    in-SQL murmur3 (see header comment above). Every value here is
+    DETERMINISTIC given the pinned hash function — these are true value
+    oracles, not statistical checks."""
+    pfx = _mm3_prefix()
+    sim = _mm3_simhash_ctes()
+    i64 = (
+        "CAST(CASE WHEN {u} >= 9223372036854775808::UBIGINT"
+        " THEN CAST({u} AS HUGEINT) - 18446744073709551616"
+        " ELSE CAST({u} AS HUGEINT) END AS BIGINT)"
+    )
+    # functions/__init__.py kmv_cardinality, replicated op-for-op: the
+    # shifted-i64 last hash -> double + 2^63, / 2^64 (exact), truncate
+    kmv = f"""{pfx},
+agg as (select doc_id, count(*) as n,
+        CAST(CAST(max(mm) AS HUGEINT) - 9223372036854775808 AS BIGINT) as last_i
+        from sk128 group by doc_id)
+select d.doc_id,
+  coalesce(CAST(trunc(CAST(a.n - 1 AS DOUBLE)
+    / ((CAST(a.last_i AS DOUBLE) + 9223372036854775808.0)
+       / 18446744073709551616.0)) AS BIGINT), 0) as cardinality_est
+from documents d left join agg a using (doc_id)
+"""
+    diagnostics = f"""{pfx}{sim},
+md as (select doc_id, CAST(sum(cnt) AS BIGINT) as tot, count(*) as n
+       from sk128 group by doc_id)
+select d.doc_id,
+  coalesce({i64.format(u='sh.sim_u')}, 0) as simhash,
+  coalesce(round(CAST(md.tot AS DOUBLE) / md.n, 9), 0.0) as mean_depth
+from documents d
+left join sh using (doc_id)
+left join md using (doc_id)
+"""
+    depth_hist = f"""{pfx}
+select cnt as depth, count(*) as n_kmers from sk128 group by cnt
+"""
+    # plans/pipeline.simhash_candidate_pairs: 16-bit chunk buckets, bucket
+    # cap 2000, Hamming <= 3 — parameterized by the short-doc cutoff
+    def simhash_pair_ctes(cutoff: int) -> str:
+        return f""",
+chunks as (select doc_id, sim_u, i as chunk_id,
+                  (sim_u >> (16 * i)) & 65535::UBIGINT as chunk_val
+           from (select doc_id, sim_u from sh where n_occ < {cutoff})
+           cross join (select unnest([0, 1, 2, 3]) as i)),
+sized as (select *, count(*) over (partition by chunk_id, chunk_val) as bs
+          from chunks),
+member as (select * from sized where bs > 1 and bs <= 2000),
+shp as (select key_a, key_b
+        from (select distinct a.doc_id as key_a, b.doc_id as key_b,
+                     a.sim_u as ua, b.sim_u as ub
+              from member a
+              join member b on a.chunk_id = b.chunk_id
+                   and a.chunk_val = b.chunk_val and a.doc_id < b.doc_id)
+        where bit_count(xor(ua, ub)) <= 3)"""
+
+    simhash_pairs = f"""{pfx}{sim}{simhash_pair_ctes(200)}
+select key_a, key_b from shp
+"""
+    near_dup = f"""{pfx}{_MM3_VERIFY_CTES}
+select key_a, key_b, round(jaccard, 9) as jaccard,
+  round(containment, 9) as containment,
+  {_MM3_MASH} as mash_distance,
+  common_hashes, total_hashes
+from v where jaccard >= {JACC_T}
+"""
+    # plans/pipeline.near_duplicates edge set: sketch-verified pairs
+    # >= threshold UNION sha-exact star pairs UNION SimHash short-doc pairs
+    # (default cutoff 8 total shingles); components = closure, min label
+    cc_neardup = f"""{pfx}{sim}{_MM3_VERIFY_CTES}{simhash_pair_ctes(8)},
+mh as (select key_a, key_b from v where jaccard >= {JACC_T}),
+ex as (
+  select g.mn as key_a, d.doc_id as key_b
+  from documents d
+  join (select text, min(doc_id) as mn, count(*) as c
+        from documents group by text) g
+    on d.text = g.text
+  where g.c > 1 and d.doc_id <> g.mn
+),
+und as (
+  select key_a as a, key_b as b from mh
+  union select key_b, key_a from mh
+  union select key_a, key_b from ex
+  union select key_b, key_a from ex
+  union select key_a, key_b from shp
+  union select key_b, key_a from shp
+),
+rec as (
+  with recursive reach(a, b) as (
+    select a, b from und
+    union
+    select r.a, u.b from reach r join und u on r.b = u.a
+  ) select * from reach
+)
+select a as node, least(a, min(b)) as component from rec group by a
+"""
+    return {
+        "kmv_cardinality": kmv,
+        "signature_diagnostics": diagnostics,
+        "depth_histogram": depth_hist,
+        "simhash_pairs": simhash_pairs,
+        "near_dup_pairs": near_dup,
+        "cc_neardup": cc_neardup,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
+    out.update(_oracle_sql_mm3())
     # the complete-sketch pipeline's components equal the transitive closure
     # of the exact near-dup graph (same value oracle as the CC operator)
     out["cc_neardup_full"] = out["cc_exact"]
@@ -1501,9 +1802,9 @@ select query_id, neighbor_id, rank, round(cosine, 6) as cosine
 from ranked where rank <= {ANN_K}
 """,
         "ann_lsh": f"""
--- exact ranking as the oracle: sign-LSH recall@k = 1.0 at (4 bits, 32
--- tables) on the driver embeddings (measured, deterministic) — a recall
--- regression surfaces as missing/reordered rows
+-- exact ranking as the oracle: sign-LSH recall@k = 1.0 at (4 bits, 64
+-- tables) on the driver embeddings at sf0.01 AND sf0.1 (measured,
+-- deterministic) — a recall regression surfaces as missing/reordered rows
 with q as (select * from embeddings where vec_id % {ANN_MOD} = 0),
 scored as (
   select a.vec_id as query_id, b.vec_id as neighbor_id,
