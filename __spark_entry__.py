@@ -545,11 +545,12 @@ def _q_compare_counts_full(spark, sf):
     of the query's counts at common hashes. Over COMPLETE sketches the
     common hashes are exactly the common 21-grams and the counts their
     occurrence depths — all plain SQL over exploded grams. The two-pointer
-    stop positions (ref_pos/query_pos) are murmur-ORDER-bound so they stay
-    on the pytest parity tests (tests/test_countstats.py); every other
-    kernel output is value-checked here. NaN moments (zero query-count
-    variance) map to NULL on both sides — DuckDB's 0/0 is NULL, numpy's is
-    NaN, and the gate must compare equal."""
+    stop positions (ref_pos/query_pos) are murmur-ORDER-bound, and since
+    round 6 the oracle carries the in-SQL murmur3 (`_mm3_subquery`), so
+    they are value-checked too: each is the rank of the other sketch's max
+    hash within this sketch. NaN moments (zero query-count variance) map
+    to NULL on both sides — DuckDB's 0/0 is NULL, numpy's is NaN, and the
+    gate must compare equal."""
     from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.countstats import compare_counts_pairs
 
@@ -563,7 +564,8 @@ def _q_compare_counts_full(spark, sf):
         ).alias(c)
 
     return out.select(
-        "key_a", "key_b", "common", "ref_count", "query_count",
+        "key_a", "key_b", "common", "ref_pos", "query_pos",
+        "ref_count", "query_count",
         _nn("var"), _nn("skew"), _nn("kurt"),
     )
 
@@ -1602,14 +1604,17 @@ select a as node, least(a, min(b)) as component from rec group by a
 """,
         # D7 compare_counts: population moments over the query's depths at
         # common grams; two-pass mean like the kernel; NaN-variance rows
-        # (all-equal query counts) emit NULL on both sides
-        "compare_counts_full": f"""
-with occ as (select doc_id, unnest({_KGRAMS_ALL}) as gram from documents),
-d as (select doc_id, gram, count(*) as c from occ group by 1, 2),
-n as (select doc_id, count(*) as n from d group by 1),
+        # (all-equal query counts) emit NULL on both sides. Since round 6
+        # the prefix hashes every gram with the in-SQL murmur3, so the
+        # complete sketch IS the per-doc mm set and the two-pointer stop
+        # positions (ref_pos/query_pos = rank of the other sketch's max
+        # hash within this sketch, kernels/distance.py:273-285) are
+        # value-checked too. key_a = REFERENCE, key_b = QUERY.
+        "compare_counts_full": f"""{_mm3_prefix()},
+n as (select doc_id, count(*) as n, max(mm) as mx from dh group by 1),
 co as (
-  select a.doc_id as key_a, b.doc_id as key_b, a.c as ac, b.c as qc
-  from d a join d b on a.gram = b.gram and b.doc_id > a.doc_id
+  select a.doc_id as key_a, b.doc_id as key_b, a.cnt as ac, b.cnt as qc
+  from dh a join dh b on a.mm = b.mm and b.doc_id > a.doc_id
 ),
 m as (
   select key_a, key_b, count(*) as common,
@@ -1618,10 +1623,21 @@ m as (
   from co group by 1, 2
 ),
 p as (
-  select m.* from m
+  select m.*, na.n as n_a, nb.n as n_b, na.mx as mx_a, nb.mx as mx_b
+  from m
   join n na on na.doc_id = m.key_a
   join n nb on nb.doc_id = m.key_b
   where m.common / cast(na.n + nb.n - m.common as double) >= {JACC_T}
+),
+rp as (
+  select p.key_a, p.key_b,
+         count(*) filter (where a.mm <= p.mx_b) as a_le
+  from p join dh a on a.doc_id = p.key_a group by 1, 2
+),
+qp as (
+  select p.key_a, p.key_b,
+         count(*) filter (where b.mm <= p.mx_a) as b_le
+  from p join dh b on b.doc_id = p.key_b group by 1, 2
 ),
 cm as (
   select c.key_a, c.key_b,
@@ -1630,13 +1646,21 @@ cm as (
          sum(pow(c.qc - p.mean, 4)) as m4
   from co c join p using (key_a, key_b) group by 1, 2
 )
-select p.key_a, p.key_b, p.common, p.ref_count, p.query_count,
+select p.key_a, p.key_b, p.common,
+  cast(case when p.mx_a <= p.mx_b then p.n_a else rp.a_le end as bigint)
+    as ref_pos,
+  cast(case when p.mx_b <= p.mx_a then p.n_b else qp.b_le end as bigint)
+    as query_pos,
+  p.ref_count, p.query_count,
   round(cm.m2 / p.common, 9) as var,
   case when cm.m2 > 0
        then round(sqrt(p.common) * cm.m3 / pow(cm.m2, 1.5), 9) end as skew,
   case when cm.m2 > 0
        then round(p.common * cm.m4 / (cm.m2 * cm.m2) - 3, 9) end as kurt
-from p join cm using (key_a, key_b)
+from p
+join cm using (key_a, key_b)
+join rp using (key_a, key_b)
+join qp using (key_a, key_b)
 """,
         # D6 minmer matrix as its position-free per-sketch value histogram:
         # entry (s, pos) = s's depth for ref gram at pos, 0 when absent —
