@@ -35,16 +35,18 @@ MEDIA_META_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "np.ndarray":
     """payload → uint8 pixel array (h, w) or (h, w, c).
 
-    The three dominant web formats decode for REAL via pure-stdlib/numpy
+    The four dominant web formats decode for REAL via pure-stdlib/numpy
     codecs: PNG (`kernels/png.py`: zlib inflate + the five scanline
     filters), baseline JPEG (`kernels/jpeg.py`: Huffman entropy decode,
     vectorized IDCT, 4:2:0/4:2:2 upsampling, restart intervals;
-    progressive/arithmetic still raise), and GIF (`kernels/gif.py`:
+    progressive/arithmetic still raise), GIF (`kernels/gif.py`:
     variable-width LZW, interlacing, transparency — first composited
-    frame; `decode_gif_frames` for animations). WebP genuinely needs a
-    codec library this container doesn't have and raises
-    NotImplementedError — swap in PIL/libvips for it in a real
-    deployment."""
+    frame; `decode_gif_frames` for animations), and lossless WebP
+    (`kernels/webp.py`: full VP8L — prefix codes, color cache, LZ77 with
+    the 2D distance map, all four transforms; differentially validated
+    against libwebp). Lossy WebP (VP8) genuinely needs a video-codec-grade
+    library and raises NotImplementedError — swap in PIL/libvips for it in
+    a real deployment."""
     raw = bytes(payload)
     if raw.startswith(b"\x89PNG"):
         from ..kernels.png import decode_png
@@ -58,9 +60,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from ..kernels.gif import decode_gif
 
         return decode_gif(raw)
+    if raw.startswith(b"RIFF") and raw[8:12] == b"WEBP":
+        from ..kernels.webp import decode_webp
+
+        return decode_webp(raw)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, and GIF decode without a codec library; "
-        f"got magic {raw[:4].hex() if raw else '<empty>'}"
+        "only PNG, baseline JPEG, GIF, and lossless WebP decode without a "
+        f"codec library; got magic {raw[:4].hex() if raw else '<empty>'}"
     )
 
 
@@ -106,6 +112,9 @@ def extract_media_features(
                 raw = bytes(p) if p is not None else b""
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 magic = next((name for sig, name in _MAGIC if raw.startswith(sig)), "unknown")
+                if magic == "riff":  # RIFF is a container: name the payload
+                    form = raw[8:12]
+                    magic = {b"WEBP": "webp", b"WAVE": "wav"}.get(form, "riff")
                 metas.append(
                     {
                         "media_type": magic,
