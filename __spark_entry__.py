@@ -705,6 +705,26 @@ def _q_span_coverage(spark, sf):
     )
 
 
+def _q_span_islands(spark, sf):
+    """Coverage ISLANDS of the span-dedup path — contiguous covered runs of
+    A (count, longest, ratio). Pure string properties, so every column has
+    an exact SQL twin (gaps-and-islands over the union of common 32-gram
+    windows); the greedy bounded span list itself stays on `span_dedup`
+    (rows-only, SA-heuristic-bound by design)."""
+    from finchspark.operators.spandedup import span_island_pairs
+
+    pairs = _q_near_dup_pairs_full(spark, sf).select("key_a", "key_b")
+    docs = _docs(spark, sf).withColumnRenamed("text", "content")
+    out = span_island_pairs(pairs, docs, min_len=32)
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_islands",
+        "longest_island",
+        F.round("coverage_a", 9).alias("coverage_a"),
+    )
+
+
 def _q_pairwise_full(spark, sf):
     """finch's true pairwise dist surface (D4) in complete-sketch exact
     mode over a 40-doc subset: every ORDERED (query, reference) pair,
@@ -932,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_counts_full": _q_compare_counts_full,
         "minmer_hist": _q_minmer_hist,
         "span_coverage": _q_span_coverage,
+        "span_islands": _q_span_islands,
         "merged_signatures": _q_merged_signatures,
         "merged_exploded": _q_merged_exploded,
         "pairwise_full": _q_pairwise_full,
@@ -1546,6 +1567,41 @@ select key_a, key_b, jaccard, containment,
     as mash_distance,
   common_hashes, total_hashes
 from full_pairs
+""",
+        # covered-run islands: same window-union position set as
+        # span_coverage, folded to contiguous runs via gaps-and-islands
+        "span_islands": _EXACT_PAIRS
+        + """
+, cov as (
+  select p.key_a, p.key_b, length(a.text) as la,
+         list_sort(list_distinct(flatten(
+           list_transform(
+             list_filter(generate_series(1, greatest(length(a.text) - 31, 0)),
+                         i -> contains(b.text, substring(a.text, i, 32))),
+             i -> generate_series(i, i + 31))))) as ps
+  from exact_pairs p
+  join documents a on a.doc_id = p.key_a
+  join documents b on b.doc_id = p.key_b
+),
+u as (select key_a, key_b, unnest(ps) as pos from cov),
+runs as (
+  select key_a, key_b, pos,
+         pos - row_number() over (partition by key_a, key_b order by pos) as grp
+  from u
+),
+isl as (
+  select key_a, key_b, count(*) as ilen
+  from runs group by key_a, key_b, grp
+),
+agg as (
+  select key_a, key_b, count(*) as n, max(ilen) as mx, sum(ilen) as tot
+  from isl group by 1, 2
+)
+select c.key_a, c.key_b,
+  coalesce(cast(agg.n as bigint), 0) as n_islands,
+  coalesce(cast(agg.mx as bigint), 0) as longest_island,
+  round(coalesce(agg.tot, 0) / cast(c.la as double), 9) as coverage_a
+from cov c left join agg using (key_a, key_b)
 """,
         "span_coverage": _EXACT_PAIRS
         + """

@@ -217,3 +217,29 @@ def span_coverage(a: bytes, b: bytes, min_len: int = 32) -> float:
         return 0.0
     sa, lcp = suffix_array_and_lcp(_joint_array(a, b))
     return float(_covered_mask(sa, lcp, la, min_len).mean())
+
+
+def coverage_islands(a: bytes, b: bytes, min_len: int = 32) -> tuple[int, int, float]:
+    """(n_islands, longest_island, coverage_a): the contiguous runs of A's
+    bytes covered by ANY common substring >= min_len with `b`.
+
+    Unlike the greedy bounded span list (`spans_and_coverage`), these are
+    pure string properties — the covered set is the union of min_len-windows
+    of common min_len-grams — so a SQL oracle can reproduce them exactly
+    (entry `span_islands`)."""
+    la = len(a)
+    if la == 0 or la < min_len or len(b) < min_len:
+        return 0, 0, 0.0
+    sa, lcp = suffix_array_and_lcp(_joint_array(a, b))
+    covered = _covered_mask(sa, lcp, la, min_len)
+    if not covered.any():
+        return 0, 0, 0.0
+    d = np.diff(covered.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if covered[0]:
+        starts = np.r_[0, starts]
+    if covered[-1]:
+        ends = np.r_[ends, la]
+    lens = ends - starts
+    return int(len(lens)), int(lens.max()), float(covered.mean())

@@ -96,3 +96,60 @@ def span_dedup_pairs(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return joined.mapInPandas(compute, schema)
+
+
+def span_island_pairs(
+    pairs: DataFrame,
+    documents: DataFrame,
+    min_len: int = 32,
+    key_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """pairs × documents → (key_a, key_b, n_islands, longest_island,
+    coverage_a): the contiguous covered runs of A (pure string properties,
+    SQL-oracle-checkable — `kernels.suffix.coverage_islands`), as opposed to
+    the greedy bounded span list of `span_dedup_pairs`. Same single-shuffle
+    post-candidate plan shape."""
+    from ..kernels.suffix import coverage_islands
+
+    docs = documents.select(
+        F.col(key_col).alias("__k"), F.col(content_col).alias("__c")
+    )
+    joined = (
+        pairs.select("key_a", "key_b")
+        .join(docs.withColumnRenamed("__k", "key_a").withColumnRenamed("__c", "content_a"), "key_a")
+        .join(docs.withColumnRenamed("__k", "key_b").withColumnRenamed("__c", "content_b"), "key_b")
+        .select("key_a", "key_b", "content_a", "content_b")
+    )
+    key_type = pairs.schema["key_a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("key_a", key_type),
+            T.StructField("key_b", key_type),
+            T.StructField("n_islands", T.LongType()),
+            T.StructField("longest_island", T.LongType()),
+            T.StructField("coverage_a", T.DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ka, kb, ca, cb in zip(
+                pdf["key_a"], pdf["key_b"], pdf["content_a"], pdf["content_b"]
+            ):
+                n, longest, cov = coverage_islands(
+                    (ca or "").encode(), (cb or "").encode(), min_len=min_len
+                )
+                rows.append(
+                    {
+                        "key_a": ka,
+                        "key_b": kb,
+                        "n_islands": n,
+                        "longest_island": longest,
+                        "coverage_a": cov,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return joined.mapInPandas(compute, schema)

@@ -184,3 +184,39 @@ def test_coverage_counts_repeated_occurrences_in_a():
     want = _brute_coverage(a, b, len(block))
     assert abs(cov - want) < 1e-12
     assert abs(cov - (2 * len(block)) / len(a)) < 1e-12
+
+
+def test_coverage_islands_vs_bruteforce():
+    """Islands from the SA covered-mask equal the brute-force union of
+    min_len-windows of common min_len-grams, folded to contiguous runs."""
+    import numpy as np
+
+    from finchspark.kernels.suffix import coverage_islands
+
+    rng = np.random.default_rng(13)
+    alpha = "ab"
+    for trial in range(40):
+        la = int(rng.integers(0, 40))
+        lb = int(rng.integers(0, 40))
+        a = "".join(rng.choice(list(alpha), la)) if la else ""
+        b = "".join(rng.choice(list(alpha), lb)) if lb else ""
+        ml = int(rng.integers(2, 6))
+        n, longest, cov = coverage_islands(a.encode(), b.encode(), min_len=ml)
+        covered = np.zeros(len(a), bool)
+        for i in range(max(0, len(a) - ml + 1)):
+            if a[i : i + ml] in b:
+                covered[i : i + ml] = True
+        runs = []
+        run = 0
+        for c in covered:
+            if c:
+                run += 1
+            elif run:
+                runs.append(run)
+                run = 0
+        if run:
+            runs.append(run)
+        assert n == len(runs), (a, b, ml)
+        assert longest == (max(runs) if runs else 0)
+        want_cov = covered.mean() if len(a) and len(a) >= ml and len(b) >= ml else 0.0
+        assert abs(cov - want_cov) < 1e-12
