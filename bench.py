@@ -47,9 +47,22 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the
+    # multi-executor scaling evidence (scripts/cluster_scaling.py passes
+    # local-cluster[N,1,mem]: real separate executor JVMs with network
+    # shuffle, not threads). Default stays local[cpus].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName("finchspark-bench")
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"))
+        # real multi-executor masters spawn fresh python workers that do not
+        # inherit the driver's sys.path (a spark-submit deployment ships the
+        # package via --py-files, scripts/make_pyfiles.py); for the
+        # local-cluster harness the repo dir on the executor PYTHONPATH is
+        # the equivalent
+        .config("spark.executorEnv.PYTHONPATH", repo_dir)
         # 4 tasks per core, not 1: with shuffle.partitions == cores the
         # reduce side of the LSH+verify stage runs as ONE wave of fat tasks
         # and any imbalance gates the whole stage (measured on the 2.33M-file

@@ -100,7 +100,15 @@ def test_decode_image_png_jpeg_gif_real_webp_stubbed():
     gimg = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], np.uint8)
     out = decode_image(encode_gif(gimg))  # GIF real (palette exact)
     assert (out == gimg).all()
-    with pytest.raises(NotImplementedError):  # WebP genuinely needs a codec
+    from finchspark.kernels.webp import encode_webp_lossless
+
+    wimg = np.dstack([gimg, np.full((2, 2), 255, np.uint8)])
+    out = decode_image(encode_webp_lossless(wimg))  # lossless WebP real
+    assert (out == wimg).all()
+    lossy = b"RIFF" + (12).to_bytes(4, "little") + b"WEBP" + b"VP8 " + bytes(4)
+    with pytest.raises(NotImplementedError):  # lossy VP8 genuinely needs one
+        decode_image(lossy)
+    with pytest.raises(ValueError):  # garbage WebP fails loudly
         decode_image(b"RIFF\x00\x00\x00\x00WEBP" + bytes(64))
     with pytest.raises(ValueError):  # truncated PNG fails loudly, not wrongly
         decode_image(encode_png(img)[:-8])
