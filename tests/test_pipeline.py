@@ -395,3 +395,49 @@ def test_iceberg_store_v2_calls(spark, cfg, tmp_path, monkeypatch):
     other = IcebergTableStore(tmp_path / "meta", "other-hash", namespace="finch.neardup")
     with pytest.raises(ParamsMismatch):
         other.get_or_compute("signatures", compute)
+
+
+def test_spark_submit_pyfiles_multi_executor(tmp_path):
+    """The north rule's deployment sentence, literally: `spark-submit
+    --py-files dist/finchspark.zip` against a MULTI-EXECUTOR master
+    (local-cluster[2,2,mem]: two real executor JVMs, network-stack shuffle,
+    python workers importing finchspark FROM THE ZIP — executorEnv
+    PYTHONPATH points at the zip, not the repo). Asserts the run completes
+    and the component/pair outputs match the known sf0.001 truth."""
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyspark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_home = os.path.dirname(pyspark.__file__)
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    zip_path = os.path.join(repo, "dist", "finchspark.zip")
+    out = str(tmp_path / "run")
+    env = dict(os.environ, SPARK_HOME=spark_home, SPARK_LOCAL_IP="127.0.0.1")
+    res = subprocess.run(
+        [
+            os.path.join(spark_home, "bin", "spark-submit"),
+            "--master", "local-cluster[2,2,2560]",
+            "--conf", "spark.executor.memory=2g",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.executorEnv.PYTHONPATH={zip_path}",
+            "--py-files", zip_path,
+            os.path.join(repo, "scripts", "submit_pipeline.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--content-col", "text",
+            "--jaccard-threshold", "0.5",
+        ],
+        env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    comp = duckdb.sql(f"select count(*) from '{out}/components/*.parquet'").fetchone()[0]
+    pairs = duckdb.sql(f"select count(*) from '{out}/pairs/*.parquet'").fetchone()[0]
+    # sf0.001 truth (same planted corpus as the driver's cc_neardup row)
+    assert comp == 45 and pairs == 28, (comp, pairs)
