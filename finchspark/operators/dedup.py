@@ -100,13 +100,24 @@ def ngram_jaccard_pairs(
     in B, i.e. |A ∩ B| / |A|.
     """
     g = docs.select(F.col(key).alias("k"), _gram_array(text, n).alias("grams"))
-    a = g.select(F.col("k").alias("key_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("k").alias("key_b"), F.col("grams").alias("gb"))
-    joined = a.join(
-        b,
-        (F.col("key_b") > F.col("key_a"))
-        & (F.col("key_b") <= F.col("key_a") + key_band),
+    # EQUI-join on the exploded candidate keys, not a range predicate: a
+    # `key_a < key_b <= key_a + band` condition forces a broadcast
+    # nested-loop join, and any downstream value filter (e.g. max_dist)
+    # gets conjoined into the join condition — Catalyst then evaluates the
+    # ArrayIntersect for ALL O(n^2) row pairs instead of the 3n banded ones
+    # (observed: the sf0.1 oracle sweep's max_dist_filter ran 45+ min of
+    # single-task CPU inside BroadcastNestedLoopJoin before this fix).
+    # Exploding the <=key_band candidate targets keeps it a shuffled hash
+    # join: 3n rows, filter applied after the join, scale-safe.
+    a = g.select(
+        F.col("k").alias("key_a"),
+        F.col("grams").alias("ga"),
+        F.explode(
+            F.sequence(F.col("k") + 1, F.col("k") + F.lit(key_band))
+        ).alias("key_b"),
     )
+    b = g.select(F.col("k").alias("key_b"), F.col("grams").alias("gb"))
+    joined = a.join(b, "key_b")
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
     return joined.select(
