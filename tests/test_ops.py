@@ -521,11 +521,17 @@ def test_resize_images_roundtrip(spark):
     rows = [
         (0, bytearray(encode_png(solid))),
         (1, bytearray(encode_png(grad))),
-        (2, bytearray(b"RIFF\x00\x00\x00\x00WEBP-ish")),
+        # lossy VP8: decode genuinely needs a codec library -> decode_error
+        (2, bytearray(b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+                      + b"VP8 " + bytes(4))),
     ]
     from finchspark.kernels.jpeg import encode_jpeg
 
     rows.append((3, bytearray(encode_jpeg(solid, quality=95))))  # JPEG in
+    from finchspark.kernels.webp import encode_webp_lossless
+
+    solid4 = np.dstack([solid, np.full(solid.shape[:2], 255, np.uint8)])
+    rows.append((4, bytearray(encode_webp_lossless(solid4))))  # VP8L in
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in resize_images(df, 8, 12).collect()}
     out0 = decode_png(bytes(got[0]["payload_resized"]))
@@ -535,6 +541,9 @@ def test_resize_images_roundtrip(spark):
     assert out1.shape == (8, 12, 3)
     assert (np.diff(out1[0, :, 0].astype(int)) >= 0).all()  # gradient preserved
     assert got[2]["payload_resized"] is None and "NotImplementedError" in got[2]["decode_error"]
+    out4 = decode_png(bytes(got[4]["payload_resized"]))  # WebP -> resize -> PNG
+    assert out4.shape[:2] == (8, 12)
+    assert (out4[..., :3] == np.array([10, 200, 77], np.uint8)).all()
     out3 = decode_png(bytes(got[3]["payload_resized"]))  # JPEG -> resize -> PNG
     assert out3.shape == (8, 12, 3)
     assert np.abs(out3.astype(int) - np.array([10, 200, 77])).max() <= 3
