@@ -420,10 +420,11 @@ def resize_images(
     payload_col: str = "payload",
     key_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """decode → resize → re-encode per image payload, all real for PNG in
-    this container (pure-stdlib codec + vectorized numpy resampling,
-    `kernels/imageops.py`); undecodable payloads surface decode_error and a
-    NULL payload instead of failing the batch.
+    """decode → resize → re-encode per image payload, all real in this
+    container for PNG, baseline JPEG, GIF, and lossless WebP (pure
+    stdlib/numpy codecs + vectorized resampling, `kernels/imageops.py`);
+    undecodable payloads (e.g. lossy VP8) surface decode_error and a NULL
+    payload instead of failing the batch.
 
     Output: key cols + (payload_resized PNG bytes, height, width,
     decode_error)."""

@@ -8,6 +8,7 @@ empirically from libwebp's behavior (the module's copy documents this
 derivation)."""
 import ctypes
 import ctypes.util
+import struct
 
 import numpy as np
 import pytest
@@ -285,3 +286,26 @@ def test_webp_through_spark_image_features(spark):
     assert ok["decode_error"] is None
     assert abs(ok["mean_pixel"] - img.astype(float).mean()) < 1e-9
     assert rows[2]["decode_error"] is not None  # lossy VP8: honest stub
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_corruption_never_hangs_or_balloons(seed):
+    """Random truncations and byte corruptions of a valid stream must
+    either decode to SOME image or raise ValueError/NotImplementedError —
+    never hang, crash the interpreter, or allocate unboundedly (the decoder
+    validates dimensions, code completeness, and backref bounds)."""
+    rng = np.random.default_rng(seed)
+    img = _img((12, 15), 100 + seed)
+    data = bytearray(encode_webp_lossless(img, backrefs={40: (6, 121)}))
+    for trial in range(60):
+        mutated = bytearray(data)
+        if trial % 3 == 0:
+            mutated = mutated[: int(rng.integers(12, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                mutated[int(rng.integers(12, len(mutated)))] = int(rng.integers(256))
+        try:
+            out = decode_webp(bytes(mutated))
+            assert out.nbytes < 50_000_000
+        except (ValueError, NotImplementedError, struct.error):
+            pass
