@@ -453,13 +453,24 @@ def _inv_palette(px: np.ndarray, w_coded: int, h: int, pal: np.ndarray, xbits: i
     return pal[idx.astype(np.int64)].reshape(-1)
 
 
-def decode_vp8l(payload: bytes) -> np.ndarray:
-    """VP8L chunk payload → (h, w, 4) uint8 RGBA."""
+def decode_vp8l(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
+    """VP8L chunk payload → (h, w, 4) uint8 RGBA.
+
+    `max_pixels` caps the header-declared image area BEFORE any pixel
+    buffer is allocated: the 28-bit dimension field lets a ~20-byte
+    crafted stream claim 16383x16383 and would otherwise allocate ~1 GB
+    per decode attempt (same decompression-bomb class as the GIF LZW
+    guard). 64 Mpx covers any sane web image; raise the cap explicitly
+    for trusted archival inputs."""
     br = _BitReader(payload)
     if br.bits(8) != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     w = br.bits(14) + 1
     h = br.bits(14) + 1
+    if w * h > max_pixels:
+        raise ValueError(
+            f"VP8L: declared size {w}x{h} exceeds max_pixels={max_pixels}"
+        )
     br.bits(1)  # alpha-used hint
     if br.bits(3) != 0:
         raise ValueError("VP8L: unsupported version")
@@ -487,8 +498,9 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return out
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP container → (h, w, 4) uint8 RGBA (lossless/VP8L files only)."""
+def decode_webp(data: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
+    """WebP container → (h, w, 4) uint8 RGBA (lossless/VP8L files only).
+    `max_pixels` — see `decode_vp8l` (decompression-bomb guard)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
     pos = 12
@@ -497,7 +509,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
-            return decode_vp8l(body)
+            return decode_vp8l(body, max_pixels=max_pixels)
         if tag == b"VP8 ":
             raise NotImplementedError(
                 "lossy WebP (VP8) needs a video-codec-grade decoder; only "

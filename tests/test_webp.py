@@ -309,3 +309,24 @@ def test_fuzz_corruption_never_hangs_or_balloons(seed):
             assert out.nbytes < 50_000_000
         except (ValueError, NotImplementedError, struct.error):
             pass
+
+
+def test_dimension_bomb_guard():
+    """A ~20-byte stream claiming 16383x16383 must be rejected BEFORE the
+    ~1 GB pixel buffer is allocated (max_pixels guard)."""
+    from finchspark.kernels.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16382, 14)
+    bw.write(16382, 14)
+    bw.write(0, 4)
+    payload = bw.tobytes() + bytes(8)
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    data = b"RIFF" + (len(chunk) + 4).to_bytes(4, "little") + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_webp(data)
+    # an explicit higher cap is the trusted-input escape hatch (the decode
+    # itself then fails on the truncated bitstream, not the guard)
+    with pytest.raises(ValueError, match="(?!.*max_pixels)"):
+        decode_webp(data, max_pixels=1 << 30)
