@@ -97,15 +97,14 @@ def _bucketize(
     key: str,
     vec: str,
     seed: int,
-    dim: int,
 ) -> DataFrame:
     """(key, table_id, bucket) — all tables' sign bits in ONE numpy matmul
     per Arrow batch (a literal expression tree of n_tables*n_bits*dim
     constants chokes Catalyst analysis; measured seconds of planning time
-    at 64 hyperplanes)."""
-    planes = np.concatenate(
-        [_hyperplanes(dim, n_bits, t, seed) for t in range(n_tables)], axis=0
-    ).T  # (dim, n_tables * n_bits)
+    at 64 hyperplanes). The vector dimension is derived inside the kernel
+    from the first batch (len(values)/rows) and the hyperplanes built once
+    per task — deterministic (murmur-derived), and it removes the driver's
+    `select(size(vec)).first()` probe job each call used to pay."""
     powers = 1 << np.arange(n_bits, dtype=np.int64)
 
     import pyarrow as pa
@@ -120,14 +119,23 @@ def _bucketize(
     )
 
     def compute(batches):
+        planes = None
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
             col = batch.column(1)
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-            mat = vals.reshape(n, dim)
+            # flatten() honors a sliced list array's offset window (same
+            # pattern as the IVF assign kernel)
+            vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            if planes is None:
+                dim = len(vals) // n
+                planes = np.concatenate(
+                    [_hyperplanes(dim, n_bits, t, seed) for t in range(n_tables)],
+                    axis=0,
+                ).T  # (dim, n_tables * n_bits)
+            mat = vals.reshape(n, planes.shape[0])
             bits = (mat @ planes) >= 0  # (n, n_tables*n_bits)
             buckets = (
                 bits.reshape(n, n_tables, n_bits).astype(np.int64) * powers
@@ -165,21 +173,29 @@ def cosine_topk_lsh(
     Each vector gets one bucket id per table (sign bits of `n_bits`
     hyperplane projections); query/ref pairs sharing a (table, bucket) are
     exactly reranked. Output schema matches `cosine_topk` (rank may be
-    < k when buckets recall fewer neighbors)."""
-    first = embeddings.select(F.size(vec).alias("d")).first()
-    if first is None:
-        return cosine_topk(embeddings.limit(0), k, query_mod, key, vec)
-    dim = first["d"]
+    < k when buckets recall fewer neighbors).
 
-    tagged = _bucketize(embeddings, n_bits, n_tables, key, vec, seed, dim)
-    q = tagged.filter((F.col(key) % query_mod) == 0).select(
-        F.col(key).alias("query_id"), "table_id", "bucket"
-    )
-    r = tagged.select(F.col(key).alias("neighbor_id"), "table_id", "bucket")
+    Candidates come from IN-GROUP expansion over one (table, bucket)
+    shuffle of the bucketize output — the earlier query×ref equi-join ran
+    the bucketize MapInArrow subtree TWICE (AQE broadcast conversion
+    duplicates the build side, see operators/lsh.py) and added a broadcast
+    stage. Per-bucket member-list state is O(bucket); the expansion output
+    (queries_in_bucket × bucket) is the binding cost in either design and
+    is controlled by `n_bits` exactly as before."""
+    tagged = _bucketize(embeddings, n_bits, n_tables, key, vec, seed)
     cand = (
-        q.join(r, ["table_id", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        tagged.groupBy("table_id", "bucket")
+        .agg(F.collect_list(key).alias("ks"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(filter(ks, q -> q % {int(query_mod)} = 0),"
+                    " q -> transform(filter(ks, n -> n != q),"
+                    " n -> struct(q as query_id, n as neighbor_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.query_id", "p.neighbor_id")
         .distinct()
     )
     qv = embeddings.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
@@ -225,29 +241,29 @@ def cosine_dup_pairs(
     make a missed pair at cosine 0.45 ~1e-4 likely per pair and measured
     recall 1.0 on the driver data — tune bits up for higher thresholds.
     """
-    first = embeddings.select(F.size(vec).alias("d")).first()
-    if first is None:
-        return embeddings.sparkSession.createDataFrame(
-            [], f"key_a long, key_b long, cosine double"
-        )
-    dim = first["d"]
-    tagged = _bucketize(embeddings, n_bits, n_tables, key, vec, seed, dim)
+    tagged = _bucketize(embeddings, n_bits, n_tables, key, vec, seed)
     w = Window.partitionBy("table_id", "bucket")
     sized = tagged.withColumn("bucket_size", F.count(F.lit(1)).over(w))
     member = sized.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
     ).select("table_id", "bucket", key)
-    a, b = member.alias("a"), member.alias("b")
+    # in-group expansion on the window's own partitioning — one exchange,
+    # no self-join (the alias-join form re-computed the whole bucketize
+    # subtree under AQE broadcast conversion, see operators/lsh.py); group
+    # state is bounded by bucket_cap via the window-count filter above
     cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
-        )
+        member.groupBy("table_id", "bucket")
+        .agg(F.sort_array(F.collect_list(key)).alias("ks"))
         .select(
-            F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ks, (x, i) -> "
+                    "transform(slice(ks, i + 2, size(ks)), y -> "
+                    "struct(x as key_a, y as key_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.key_a", "p.key_b")
         .distinct()
     )
     av = embeddings.select(F.col(key).alias("key_a"), F.col(vec).alias("qv"))
@@ -323,11 +339,6 @@ def cosine_topk_ivf(
     candidate fraction (recall gated in tests). Output schema matches
     `cosine_topk`; rank may be < k when probed lists recall fewer
     neighbors."""
-    first = embeddings.select(F.size(vec).alias("d")).first()
-    if first is None:
-        return cosine_topk(embeddings.limit(0), k, query_mod, key, vec)
-    dim = first["d"]
-
     train = (
         embeddings.filter((F.col(key) % train_mod) == 0)
         .select(key, vec)
@@ -335,6 +346,8 @@ def cosine_topk_ivf(
         .limit(max_train_sample)
         .collect()
     )
+    if not train:
+        return cosine_topk(embeddings.limit(0), k, query_mod, key, vec)
     cents = _spherical_kmeans(
         np.array([r[1] for r in train], dtype=np.float64), n_centroids, n_iters
     )

@@ -36,7 +36,7 @@ def exact_dup_pairs(
     only, which preserves connectivity but not pair completeness.
     """
     members = (
-        docs.select(F.md5(text).alias("h"), F.col(key))
+        docs.select(F.sha2(F.col(text), 256).alias("h"), F.col(key))
         .groupBy("h")
         .agg(F.sort_array(F.collect_list(key)).alias("ks"))
         .filter(F.size("ks") > 1)
@@ -65,13 +65,21 @@ def exact_dup_pairs(
 
 def exact_dup_clusters(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """(key, cluster_id) for every doc in a >1-member identical-text group;
-    cluster_id = min key of the group. One shuffle (groupBy md5)."""
-    h = docs.select(F.col(key), F.md5(text).alias("h"))
-    grp = h.groupBy("h").agg(
-        F.min(key).alias("cluster_id"), F.count(F.lit(1)).alias("n")
-    )
+    cluster_id = min key of the group. ONE shuffle: a window min+count over
+    the content hash (the groupBy+join-back form cost a second exchange and
+    a broadcast stage; the window streams with spill, so even a degenerate
+    mega-group never builds per-group state)."""
+    w = Window.partitionBy(F.sha2(F.col(text), 256))
     return (
-        h.join(grp.filter(F.col("n") > 1), "h")
+        # NULL-text docs never joined under the old equi-join-on-hash form;
+        # a window partition would lump them into one bogus cluster
+        docs.filter(F.col(text).isNotNull())
+        .select(
+            F.col(key),
+            F.min(key).over(w).alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("__n"),
+        )
+        .filter(F.col("__n") > 1)
         .select(F.col(key), "cluster_id")
     )
 
@@ -99,6 +107,10 @@ def ngram_jaccard_pairs(
     Output: (key_a, key_b, jaccard, containment) — containment of A's grams
     in B, i.e. |A ∩ B| / |A|.
     """
+    if key_band < 1:
+        # sequence(k+1, k+key_band) with key_band < 1 is DESCENDING (the
+        # line-80 pitfall), yielding a self-pair and band-violating pairs
+        raise ValueError(f"key_band must be >= 1, got {key_band}")
     g = docs.select(F.col(key).alias("k"), _gram_array(text, n).alias("grams"))
     # EQUI-join on the exploded candidate keys, not a range predicate: a
     # `key_a < key_b <= key_a + band` condition forces a broadcast

@@ -12,13 +12,21 @@ Skew handling (north_rule):
   surfaced in the metrics DataFrame instead (exact duplicates among them are
   still caught by the exact sha256 dedup operator, and the cap only kicks in
   for buckets whose members are near-identical to >cap partners anyway);
-- bucket sizes come from a WINDOW count over the same partitioning the
-  self-join needs, so the whole candidate stage shuffles the exploded bands
-  exactly ONCE on (band_id, band_hash): the window's exchange subtree is
-  byte-identical on both self-join sides (verified: `ReusedExchange` with
-  static planning; AQE reuses the shuffle stage at runtime), and the join
-  itself is partition-local. Remaining shuffle: the final pair distinct.
-  AQE skew-join handles residual within-bucket skew.
+- bucket sizes come from a WINDOW count over the bucket partitioning, so
+  the whole candidate stage shuffles the exploded bands exactly ONCE on
+  (band_id, band_hash); pairs are then expanded IN-GROUP (collect_list of
+  the cap-bounded member set + array pair expansion) instead of a
+  self-join. The earlier alias self-join relied on `ReusedExchange` to
+  share the one shuffle between its two sides — true under static
+  planning, but AQE's broadcast conversion DUPLICATES the whole build-side
+  subtree (explode + exchange + sort + window computed twice, measured in
+  round 7: the candidate stage alone was 2.3 s of a 2.4 s LSH+verify
+  stage at sf0.1). The in-group expansion has one side by construction:
+  nothing to re-plan, no broadcast, no join probes. Group state is bounded
+  by `bucket_cap` because the window count filters mega-buckets BEFORE any
+  member list materializes; the expansion's O(s²) output — identical to
+  the join's probe output — remains the binding cost in either design.
+  Remaining shuffle: the final pair distinct.
 """
 from __future__ import annotations
 
@@ -61,17 +69,24 @@ def candidate_pairs(
     member = sized.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= lsh.bucket_cap)
     ).select("band_id", "band_hash", F.col(key_col).alias("k"))
-    # self-join via aliases of the SAME frame so both sides canonicalize to
-    # one exchange subtree; the join is partition-local after the window
-    a, b = member.alias("a"), member.alias("b")
+    # in-group expansion: the groupBy keys match the window's partitioning,
+    # so the member lists aggregate WITHOUT a new exchange, and the (x, i)
+    # two-arg lambda pairs each member with every later one in sorted order
+    # (key_a < key_b, exactly the old join condition). collect_list drops
+    # NULL keys like the old join's null-rejecting condition did.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.k") < F.col("b.k")),
+        member.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("k")).alias("ks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ks, (x, i) -> "
+                    "transform(slice(ks, i + 2, size(ks)), y -> "
+                    "struct(x as key_a, y as key_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .select("p.key_a", "p.key_b")
         .distinct()
     )
     return pairs, overflow
@@ -133,14 +148,24 @@ def exact_dup_pairs_sha(
 ) -> DataFrame:
     """Exact duplicates via sha256 grouping — O(n) with one shuffle, and the
     safety net for members of capped LSH buckets. Pairs each doc with the
-    group's minimum key (star edges) rather than emitting O(g^2) pairs."""
-    rep = signatures.groupBy("sha256").agg(
-        F.min(key_col).alias("key_a"), F.count(F.lit(1)).alias("n")
-    )
-    # no broadcast hint: `rep` scales with the corpus; AQE picks broadcast
-    # automatically when the dup-group table is actually small
+    group's minimum key (star edges) rather than emitting O(g^2) pairs.
+
+    Shape: ONE exchange on sha256 with a window min+count — no join-back of
+    the aggregate (the earlier groupBy+join form cost a second exchange of
+    the signature keys plus a broadcast stage per call), and streaming/
+    spillable per-group state, so a degenerate mega-group (10⁹ empty files)
+    never materializes a member list."""
+    w = Window.partitionBy("sha256")
     return (
-        signatures.join(rep.filter(F.col("n") > 1), "sha256", "inner")
-        .filter(F.col(key_col) != F.col("key_a"))
-        .select("key_a", F.col(key_col).alias("key_b"))
+        signatures.select(F.col(key_col).alias("key_b"), "sha256")
+        # NULL shas never joined under the old equi-join form; a window
+        # partition would lump them into one bogus group — keep them out
+        .filter(F.col("sha256").isNotNull())
+        .select(
+            F.min("key_b").over(w).alias("key_a"),
+            "key_b",
+            F.count(F.lit(1)).over(w).alias("__n"),
+        )
+        .filter((F.col("__n") > 1) & (F.col("key_b") != F.col("key_a")))
+        .select("key_a", "key_b")
     )

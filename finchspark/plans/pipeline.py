@@ -80,20 +80,29 @@ def simhash_candidate_pairs(
     member = sized.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= config.lsh.bucket_cap)
     ).select("chunk_id", "chunk_val", key_col, "simhash")
-    a, b = member.alias("a"), member.alias("b")
+    # in-group pair expansion on the window's own partitioning (no second
+    # exchange, no self-join — the alias-join form re-computed its whole
+    # subtree under AQE's broadcast conversion, see operators/lsh.py):
+    # members sort by (key, simhash) struct order == key order (keys are
+    # unique), so x < y pairs reproduce the old a.key < b.key condition
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        member.groupBy("chunk_id", "chunk_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key_col).alias("k"), "simhash"))
+            ).alias("ms")
         )
         .select(
-            F.col(f"a.{key_col}").alias("key_a"),
-            F.col(f"b.{key_col}").alias("key_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), y -> "
+                    "struct(x.k as key_a, y.k as key_b, "
+                    "x.simhash as sim_a, y.simhash as sim_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.key_a", "p.key_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     pairs = pairs.filter(
