@@ -82,12 +82,25 @@ def prefix_candidates(
     index = sized.select(
         "k", F.explode(F.slice("hashes", F.lit(1), prefix_len)).alias("h")
     )
-    # alias self-join: one canonical index subtree, its shuffle reused by
-    # both sides (same pattern as the LSH bucket join)
-    a, b = index.alias("a"), index.alias("b")
+    # in-group expansion over one shuffle of the inverted index — the alias
+    # self-join form re-computed the whole index subtree under AQE's
+    # broadcast conversion (see operators/lsh.py). Posting-list state is
+    # O(g) per hash while the expansion output is O(g²) in either design
+    # (the docstring's posting-list smallness argument is unchanged).
     return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.k") < F.col("b.k")))
-        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        index.groupBy("h")
+        .agg(F.sort_array(F.collect_list("k")).alias("ks"))
+        .filter(F.size("ks") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ks, (x, i) -> "
+                    "transform(slice(ks, i + 2, size(ks)), y -> "
+                    "struct(x as key_a, y as key_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.key_a", "p.key_b")
         .distinct()
     )
 

@@ -356,66 +356,93 @@ def cosine_topk_ivf(
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField(key, T.LongType()),
-            T.StructField("list_id", T.IntegerType()),
-            T.StructField("probes", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def assign(batches):
+    def _sims(batch):
         ct = cents.T  # (dim, n_centroids)
-        dim = ct.shape[0]
+        n = batch.num_rows
+        # zero-copy Arrow→numpy (same pattern as _bucketize above):
+        # flatten() honors a sliced list array's offset window, then one
+        # contiguous f64 cast — no per-row Python materialization
+        col = batch.column(1)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, ct.shape[0])
+        )
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return mat @ ct
+
+    # TWO slim kernels instead of one fat one joined to itself: the single
+    # (key, list_id, probes) frame fed a q×r self-join whose sides AQE
+    # re-planned separately, so the full-corpus assign matmul + argsort ran
+    # TWICE per query (see operators/lsh.py). Split, the whole corpus pays
+    # only the nearest-list argmax once, and the nprobe argsort runs only
+    # on the 1/query_mod query fraction — pushed BELOW the Python boundary
+    # so the kernel never sees non-query rows (guide-§4 column/row pruning
+    # an opaque function defeats otherwise).
+    def assign_lists(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            sims = _sims(batch)
+            # argmax == first row of the stable argsort on -sims (ties →
+            # lowest list id), the original ordering's top-1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(sims.argmax(axis=1).astype(np.int32), pa.int32()),
+                ],
+                ["neighbor_id", "list_id"],
+            )
+
+    def assign_probes(batches):
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            keys = batch.column(0)
-            # zero-copy Arrow→numpy (same pattern as _bucketize above):
-            # flatten() honors a sliced list array's offset window, then one
-            # contiguous f64 cast — no per-row Python materialization
-            col = batch.column(1)
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            mat = (
-                col.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(n, dim)
-            )
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ ct
             # top-nprobe lists per row, ordered best-first (deterministic:
             # argsort on (-sim, list_id) via stable sort of negated sims)
-            order = np.argsort(-sims, axis=1, kind="stable")
+            order = np.argsort(-_sims(batch), axis=1, kind="stable")
             offs = np.arange(n + 1, dtype=np.int32) * nprobe
-            probes = pa.ListArray.from_arrays(
-                pa.array(offs, pa.int32()),
-                pa.array(
-                    order[:, :nprobe].astype(np.int32).reshape(-1), pa.int32()
-                ),
-            )
             yield pa.RecordBatch.from_arrays(
                 [
-                    keys,
-                    pa.array(order[:, 0].astype(np.int32), pa.int32()),
-                    probes,
+                    batch.column(0),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(
+                            order[:, :nprobe].astype(np.int32).reshape(-1),
+                            pa.int32(),
+                        ),
+                    ),
                 ],
-                schema=pa.schema(
-                    [
-                        (key, pa.int64()),
-                        ("list_id", pa.int32()),
-                        ("probes", pa.list_(pa.int32())),
-                    ]
-                ),
+                ["query_id", "probes"],
             )
 
-    tagged = embeddings.select(key, vec).mapInArrow(assign, out_schema)
-    q = (
-        tagged.filter((F.col(key) % query_mod) == 0)
-        .select(F.col(key).alias("query_id"), F.explode("probes").alias("list_id"))
+    key_type = embeddings.schema[key].dataType
+    r = embeddings.select(key, vec).mapInArrow(
+        assign_lists,
+        T.StructType(
+            [
+                T.StructField("neighbor_id", key_type),
+                T.StructField("list_id", T.IntegerType()),
+            ]
+        ),
     )
-    r = tagged.select(F.col(key).alias("neighbor_id"), "list_id")
+    q = (
+        embeddings.filter((F.col(key) % query_mod) == 0)
+        .select(key, vec)
+        .mapInArrow(
+            assign_probes,
+            T.StructType(
+                [
+                    T.StructField("query_id", key_type),
+                    T.StructField("probes", T.ArrayType(T.IntegerType())),
+                ]
+            ),
+        )
+        .select("query_id", F.explode("probes").alias("list_id"))
+    )
     cand = (
         q.join(r, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -119,11 +119,14 @@ def _large_star(edges: DataFrame, salt_buckets: int = 0) -> DataFrame:
     m = _min_map(und, salt_buckets).select(
         "u", F.least("mn", F.col("u")).alias("m")
     )
+    # no distinct here: it cost one exchange per round, and the consuming
+    # small-star dedups anyway — its min-map aggregation is duplicate-
+    # insensitive (partial agg absorbs dups map-side) and its own output
+    # distinct restores canonical form before the convergence check
     return (
         _salted_join(und, m, salt_buckets)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

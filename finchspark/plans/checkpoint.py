@@ -100,12 +100,23 @@ class TableStore:
             .collect()
         }
         n_this_write = sum(per_part.values())
-        # row_count stays the cumulative table count (append-aware)
-        n = (
-            n_this_write
-            if mode != "append"
-            else self._read_raw(stage).count()
-        )
+        # row_count stays the cumulative table count (append-aware). Fold
+        # the previous meta's count instead of re-counting the table: every
+        # write passes through this method, so prev row_count + this write
+        # is exact — and a per-append full-table scan is O(store) per epoch
+        # on a streaming store (the count was the single largest fixed cost
+        # of a streaming epoch as the store grows). Fall back to a real
+        # count only for a table this store has no meta for.
+        if mode != "append":
+            n = n_this_write
+        else:
+            meta_file = path / "_finch_meta.json"
+            if meta_file.exists():
+                n = json.loads(meta_file.read_text()).get(
+                    "row_count", 0
+                ) + n_this_write
+            else:
+                n = self._read_raw(stage).count()
         n_parts = max(len(per_part), 1)
         mean = n_this_write / n_parts
         meta = {

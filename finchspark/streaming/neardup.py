@@ -230,6 +230,12 @@ def neardup_stream(
                 edges = kept.select(
                     F.col("key_a").alias("src"), F.col("key_b").alias("dst")
                 )
+                # kept is persisted and already materialized by the pairs
+                # write, so this count is a cheap cache scan — deciding the
+                # remap broadcast here lets the incremental CC skip its own
+                # eager localCheckpoint + count materialization per epoch
+                # (cc.connected_components_incremental_delta docstring)
+                n_edges = kept.count()
                 delta_stage = f"{components_path}_delta"
                 prev, n_delta = store_latest_components(
                     spark, table_store, components_path
@@ -252,8 +258,12 @@ def neardup_stream(
                         ),
                     )
                 else:
+                    from ..operators.cc import _BROADCAST_REMAP_MAX_EDGES
+
                     full, changed = connected_components_incremental_delta(
-                        prev, edges
+                        prev,
+                        edges,
+                        broadcast_remap=n_edges <= _BROADCAST_REMAP_MAX_EDGES,
                     )
                     if n_delta + 1 >= compact_every:
                         # compaction: rewrite the base (carrying the new
@@ -301,6 +311,9 @@ def neardup_stream(
                 edges = kept.select(
                     F.col("key_a").alias("src"), F.col("key_b").alias("dst")
                 )
+                # cheap cache scan (kept is persisted + materialized); see
+                # the table-store branch above
+                n_edges = kept.count()
                 prev, v = latest_components(spark, components_path)
                 snaps = [n for n, k in _versions(components_path) if k == "v"]
                 last_snap = max(snaps, default=-1)
@@ -309,8 +322,12 @@ def neardup_stream(
                         f"{components_path}/v={v + 1}"
                     )
                 else:
+                    from ..operators.cc import _BROADCAST_REMAP_MAX_EDGES
+
                     full, changed = connected_components_incremental_delta(
-                        prev, edges
+                        prev,
+                        edges,
+                        broadcast_remap=n_edges <= _BROADCAST_REMAP_MAX_EDGES,
                     )
                     if v + 1 - last_snap >= compact_every:
                         # compaction epoch: full snapshot, then drop
