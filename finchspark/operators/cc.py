@@ -161,19 +161,24 @@ def connected_components(
     `edges` must have two numeric/orderable columns; self-loops and
     duplicates are tolerated. Empty edge input returns an empty frame.
 
-    Graphs with at most `small_graph_threshold` distinct edges (default 4M ≈
+    Graphs with at most `small_graph_threshold` edge rows (default 4M ≈
     64 MB of keys — far below executor memory) skip the star rounds and are
     labeled in ONE single-task job: a near-dup edge list is tiny relative to
     the corpus, and the iterative path costs O(log n) shuffle rounds of job
     latency even on 25 edges. The edge count that guards this reuses the
     same materialization the star loop needs, so the big-graph case pays
     nothing extra. Pass 0/None to force the distributed star path.
+
+    No up-front `.distinct()`: it cost a full edge exchange before any work,
+    while duplicate edges are absorbed for free one step later — the numpy
+    labeler is duplicate-insensitive, and the first star round's min-map
+    aggregation collapses them map-side. Counting raw rows also makes the
+    single-task guard bound what is actually SHIPPED to the one task, which
+    is the quantity the guard protects.
     """
     spark = edges.sparkSession
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
     )
     guarded = False
     if small_graph_threshold and checkpoint_dir is None:

@@ -221,22 +221,13 @@ def weighted_jaccard_pairs(
     1.0, disjoint → 0.0, and duplicated content weighs by multiplicity).
 
     Pure Catalyst: each side's (hash, count) rows come from one
-    explode-and-join of the signatures frame; an INNER join on (pair, hash)
-    yields Σ min over the common hashes, and the union-side denominator
-    comes from the identity Σ max = Σ count_A + Σ count_B − Σ min — the
-    per-doc count sums are plain array folds over the signature rows, so
-    nothing outside the intersection is ever exploded, joined, or shuffled
-    (the earlier full-outer alignment shuffled the whole union per pair).
-    Candidate-bounded like verify, never all-pairs. Exact over complete
-    sketches; with truncated sketches it is the weighted Jaccard OF THE
-    SKETCHES (documented estimator).
+    explode-and-join of the signatures frame; a full-outer join on (pair,
+    hash) aligns the two histograms so absent hashes count 0. One shuffle
+    per side plus the outer-join exchange — candidate-bounded like verify,
+    never all-pairs. Exact over complete sketches; with truncated sketches
+    it is the weighted Jaccard OF THE SKETCHES (documented estimator).
 
     Output: (key_a, key_b, weighted_jaccard)."""
-    # distinct once up front: the old groupBy form emitted one row per
-    # distinct pair (with min/max sums scaling together) even for
-    # duplicated pair inputs — dedup keeps the Σmin numerator aligned with
-    # the per-doc denominators below
-    pairs = pairs.select("key_a", "key_b").distinct()
     toks = signatures.select(
         F.col(key_col).alias("k"),
         F.explode(F.arrays_zip("hashes", "counts")).alias("z"),
@@ -247,52 +238,17 @@ def weighted_jaccard_pairs(
     tb = pairs.join(toks.withColumnRenamed("k", "key_b"), "key_b").select(
         "key_a", "key_b", "h", F.col("c").alias("cb")
     )
-    mins = ta.join(tb, ["key_a", "key_b", "h"]).groupBy("key_a", "key_b").agg(
-        F.sum(F.least("ca", "cb")).alias("mins")
-    )
-    sums = signatures.select(
-        F.col(key_col).alias("k"),
-        F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "s"
-        ),
-        F.size("hashes").cast("long").alias("n"),
-    )
-    base = (
-        pairs.join(
-            sums.select(
-                F.col("k").alias("key_a"),
-                F.col("s").alias("sa"),
-                F.col("n").alias("na"),
-            ),
-            "key_a",
-            "left",
-        )
-        .join(
-            sums.select(
-                F.col("k").alias("key_b"),
-                F.col("s").alias("sb"),
-                F.col("n").alias("nb"),
-            ),
-            "key_b",
-            "left",
-        )
-        # the old per-hash form emitted a pair iff at least one side had a
-        # retained hash; reproduce that row set exactly
-        .filter(
-            (F.coalesce("na", F.lit(0)) > 0) | (F.coalesce("nb", F.lit(0)) > 0)
-        )
-    )
-    joined = base.join(mins, ["key_a", "key_b"], "left").select(
+    aligned = ta.join(tb, ["key_a", "key_b", "h"], "full_outer").select(
         "key_a",
         "key_b",
-        F.coalesce("mins", F.lit(0).cast("long")).alias("mins"),
-        (
-            F.coalesce("sa", F.lit(0).cast("long"))
-            + F.coalesce("sb", F.lit(0).cast("long"))
-            - F.coalesce("mins", F.lit(0).cast("long"))
-        ).alias("maxs"),
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    return joined.select(
+    agg = aligned.groupBy("key_a", "key_b").agg(
+        F.sum(F.least("ca", "cb")).alias("mins"),
+        F.sum(F.greatest("ca", "cb")).alias("maxs"),
+    )
+    return agg.select(
         "key_a",
         "key_b",
         F.when(F.col("maxs") > 0, F.col("mins") / F.col("maxs"))
