@@ -204,10 +204,22 @@ def _q_exact_dup_clusters(spark, sf):
     return exact_dup_clusters(_docs_planted_dups(spark, sf))
 
 
+_NGRAM_CACHE: dict[str, DataFrame] = {}
+
+
 def _ngram_pairs(spark, sf):
+    """Banded n-gram pairs, persisted per sf_dir: five queries
+    (ngram_jaccard, best_match, mash_distance, max_dist_filter,
+    containment_filter) project the same joined frame — one shared
+    materialization instead of five gram-join recomputes (same in-session
+    discipline as _SIG_CACHE / _PAIRS_CACHE)."""
     from finchspark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf), n=NGRAM, key_band=BAND)
+    if sf not in _NGRAM_CACHE:
+        _NGRAM_CACHE[sf] = ngram_jaccard_pairs(
+            _docs(spark, sf), n=NGRAM, key_band=BAND
+        ).persist()
+    return _NGRAM_CACHE[sf]
 
 
 def _q_ngram_jaccard(spark, sf):
@@ -322,13 +334,30 @@ def _q_depth_histogram_full(spark, sf):
     return depth_histogram(_signatures_full(spark, sf))
 
 
+_EXACT_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _exact_pairs_full(spark, sf) -> DataFrame:
+    """exact_jaccard_pairs over the complete sketches at the flagship
+    threshold, persisted per sf_dir: seven queries (neardup_exact,
+    lsh_recall, cc_exact, compare_counts_full, weighted_jaccard,
+    dedup_corpus, cc_incremental_capped) consume this same pair set — one
+    shared materialization instead of seven prefix-index recomputes (same
+    in-session discipline as _SIG_CACHE / _PAIRS_CACHE)."""
+    from finchspark.operators.allpairs import exact_jaccard_pairs
+
+    if sf not in _EXACT_PAIRS_CACHE:
+        _EXACT_PAIRS_CACHE[sf] = exact_jaccard_pairs(
+            _signatures_full(spark, sf), JACC_T
+        ).persist()
+    return _EXACT_PAIRS_CACHE[sf]
+
+
 def _q_neardup_exact(spark, sf):
     """Exact set-Jaccard near-dup pairs (AllPairs prefix filtering over
     complete sketches) — recall 1.0 by construction; int/int divisions are
     IEEE-identical in Spark and DuckDB, so no rounding is needed."""
-    from finchspark.operators.allpairs import exact_jaccard_pairs
-
-    return exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    return _exact_pairs_full(spark, sf)
 
 
 def _q_lsh_recall(spark, sf):
@@ -338,12 +367,9 @@ def _q_lsh_recall(spark, sf):
     pair — recall 1.0 at this config on this data is a measured, determinist
     fact (fixed hashes, fixed bands, fixed corpus), so any banding
     regression flips a flag and fails the value-hash."""
-    from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.lsh import candidate_pairs
 
-    exact = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T).select(
-        "key_a", "key_b"
-    )
+    exact = _exact_pairs_full(spark, sf).select("key_a", "key_b")
     cands, _ = candidate_pairs(_signatures(spark, sf), _cfg().lsh, key_col="doc_id")
     tagged = cands.withColumn("caught", F.lit(True))
     return exact.join(tagged, ["key_a", "key_b"], "left").select(
@@ -355,10 +381,9 @@ def _q_cc_exact(spark, sf):
     """Connected components over the exact near-dup graph — the general CC
     operator on a non-chain graph, value-checked against a recursive-CTE
     transitive closure."""
-    from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.cc import connected_components
 
-    e = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    e = _exact_pairs_full(spark, sf)
     # star path pinned here too (see _q_cc_chain)
     return connected_components(
         e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst")),
@@ -551,11 +576,10 @@ def _q_compare_counts_full(spark, sf):
     hash within this sketch. NaN moments (zero query-count variance) map
     to NULL on both sides — DuckDB's 0/0 is NULL, numpy's is NaN, and the
     gate must compare equal."""
-    from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.countstats import compare_counts_pairs
 
     sigs = _signatures_full(spark, sf)
-    pairs = exact_jaccard_pairs(sigs, JACC_T).select("key_a", "key_b")
+    pairs = _exact_pairs_full(spark, sf).select("key_a", "key_b")
     out = compare_counts_pairs(pairs, sigs, key_col="doc_id")
 
     def _nn(c):
@@ -607,7 +631,6 @@ def _q_cc_incremental_capped(spark, sf):
 
     from finchspark.config import PipelineConfig
     from finchspark.kernels import SketchParams
-    from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.cc import (
         connected_components,
         connected_components_incremental,
@@ -626,7 +649,7 @@ def _q_cc_incremental_capped(spark, sf):
         jaccard_threshold=JACC_T,
     )
     base = _docs(spark, sf).select("doc_id", "text")
-    ex = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    ex = _exact_pairs_full(spark, sf)
     endpoints = (
         ex.select(F.col("key_a").alias("doc_id"))
         .unionByName(ex.select(F.col("key_b").alias("doc_id")))
@@ -795,11 +818,10 @@ def _q_dedup_corpus(spark, sf):
     per-row sha256 content invariant recomputed on the surviving rows —
     the north-star's 'every row preserves content sha256 equality'
     requirement, value-checked end-to-end."""
-    from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.cc import connected_components
     from finchspark.operators.dedup import dedup_corpus
 
-    e = exact_jaccard_pairs(_signatures_full(spark, sf), JACC_T)
+    e = _exact_pairs_full(spark, sf)
     comps = connected_components(
         e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
     )
@@ -884,11 +906,10 @@ def _q_weighted_jaccard(spark, sf):
     from complete sketches — there the retained counts ARE the per-gram
     occurrence counts, so DuckDB reproduces the histogram intersection
     exactly from the raw text."""
-    from finchspark.operators.allpairs import exact_jaccard_pairs
     from finchspark.operators.verify import weighted_jaccard_pairs
 
     sigs = _signatures_full(spark, sf)
-    pairs = exact_jaccard_pairs(sigs, JACC_T).select("key_a", "key_b")
+    pairs = _exact_pairs_full(spark, sf).select("key_a", "key_b")
     return weighted_jaccard_pairs(pairs, sigs).select(
         "key_a",
         "key_b",
