@@ -59,8 +59,11 @@ _HASH_MUL = 0x1E35A7BD
 
 
 class _BitReader:
-    """LSB-first bit reader. Reads up to 4 zero bytes past the end (final
-    codes may straddle the last byte); deeper overruns raise."""
+    """LSB-first bit reader. Reads up to 2 zero bytes past the end — the
+    most a byte-aligned final code can actually straddle (max code length
+    15 bits can span at most one extra byte, plus the padding byte);
+    deeper overruns raise, so a stream truncated by 3+ bytes fails loudly
+    instead of silently decoding zeros."""
 
     def __init__(self, data: bytes):
         self.d = data
@@ -72,7 +75,7 @@ class _BitReader:
         while self.nb < n:
             if self.i < len(self.d):
                 b = self.d[self.i]
-            elif self.i < len(self.d) + 4:
+            elif self.i < len(self.d) + 2:
                 b = 0
             else:
                 raise ValueError("VP8L: bitstream truncated")
@@ -507,6 +510,13 @@ def decode_webp(data: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            # a declared chunk size past the buffer would silently hand the
+            # decoder a truncated body (python slicing clamps) — reject
+            raise ValueError(
+                f"WebP: chunk {tag!r} declares {size} bytes but only "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return decode_vp8l(body, max_pixels=max_pixels)
@@ -684,6 +694,15 @@ def encode_webp_lossless(
     h, w, c = rgba.shape
     if c != 4:
         raise ValueError("encode_webp_lossless expects RGBA")
+    if (predictor_mode is not None or color_cte is not None) and max(w, h) > 512:
+        # the transform sub-image here is a SINGLE pixel, i.e. one block;
+        # sbits tops out at 9 (512-px blocks, a format limit of the 3-bit
+        # sbits field), so a larger image would need a multi-pixel
+        # transform image and the emitted bitstream would desync
+        raise ValueError(
+            "encode_webp_lossless: predictor_mode/color_cte emit a "
+            "single-block transform image; max dimension is 512"
+        )
     argb = (
         (rgba[..., 3].astype(np.uint32) << 24)
         | (rgba[..., 0].astype(np.uint32) << 16)
